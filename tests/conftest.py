@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax
+imports, so multi-chip sharding (shard_map over a Mesh) is testable without
+TPU hardware — the strategy from SURVEY.md §4 (parallel-vs-serial equivalence
+tested single-machine, as the reference does with mpirun -n N on one box)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
