@@ -1,0 +1,149 @@
+"""Masked min-plus sweep engine: the TPU-native replacement for the
+reference's priority queues.
+
+Depression filling, flat-resolution BFS distances, and least-cost fields are
+all least fixpoints of
+
+    W(c) = min( W0(c),  max( floor(c),  min_d  W(n_d) + cost_d(c) ) )
+
+over the 8-neighbor graph (SURVEY.md appendix A.2/A.3): fill uses
+``floor = Z`` and ``cost = eps``; unit-cost distance transforms use
+``floor = -BIG`` and ``cost = 1`` on allowed edges / ``+BIG`` on blocked
+ones.  A serial priority queue (Priority-Flood, BFS) computes exactly this
+fixpoint; here it is computed by *directional sweeps*:
+
+* Along rows and columns the 1-D relaxation ``w_i = min(h_i, max(l_i,
+  w_{i-1} + e_i))`` is a composition of clamp functions
+  ``f(w) = min(h, max(l, w + e))``, which are **closed under composition**::
+
+      (f_b ∘ f_a)(w) = min( min(h_b, max(l_b, h_a + e_b)),
+                            max( max(l_b, l_a + e_b), w + e_a + e_b ) )
+
+  so a full row/column relaxation runs as one ``lax.associative_scan`` —
+  log-depth, fully parallel across the other axis.  This is the TPU analog
+  of the reference's sequential Planchon–Darboux-style sweeps.
+* Diagonal edges are relaxed by an 8-neighbor Jacobi step each iteration.
+
+Starting from ``W = +BIG`` (unreached), iteration is monotone nonincreasing
+and converges to the Bellman path value in the (min, max/plus) semiring —
+i.e. exactly the Priority-Flood result — independent of sweep order.
+Typical terrain converges in a handful of iterations; pathological spirals
+degrade gracefully toward the Jacobi bound.
+
+Infinities are represented by ±BIG (finite) so that blocked-edge arithmetic
+(``-inf + inf``) can never manufacture NaNs inside the scans.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["BIG", "minplus_fixpoint", "minplus_sweep_once", "jacobi_step"]
+
+#: Finite stand-in for infinity (fits comfortably in float32).
+BIG = 1.0e30
+
+
+def _clip(x):
+    return jnp.clip(x, -BIG, BIG)
+
+
+def _combine(a, b):
+    """Compose clamp elements: apply ``a`` first, then ``b``."""
+    ha, la, ea = a
+    hb, lb, eb = b
+    h = jnp.minimum(hb, jnp.maximum(lb, _clip(ha + eb)))
+    low = jnp.maximum(lb, _clip(la + eb))
+    e = _clip(ea + eb)
+    return h, low, e
+
+
+def _axis_sweep(w, floor, cost_in, axis, reverse, boundary):
+    """One directional relaxation along ``axis`` via associative scan.
+
+    ``cost_in[c]`` is the cost of the edge INTO cell ``c`` from its
+    predecessor along the sweep direction; ``boundary`` is the incoming
+    value from off-grid (e.g. ``-BIG`` = the edge drains, ``+BIG`` = no
+    injection).
+    """
+    if reverse:
+        w = jnp.flip(w, axis)
+        floor = jnp.flip(floor, axis)
+        cost_in = jnp.flip(cost_in, axis)
+    h, low, e = lax.associative_scan(
+        _combine, (w, floor, cost_in), axis=axis)
+    out = jnp.minimum(h, jnp.maximum(low, _clip(boundary + e)))
+    if reverse:
+        out = jnp.flip(out, axis)
+    return out
+
+
+def jacobi_step(w, floor, costs, boundary):
+    """One full 8-neighbor Jacobi relaxation (carries diagonal edges).
+
+    ``costs``: (8, H, W) edge costs into each cell from direction d = k+1.
+    """
+    from richdem_tpu.ops.stencil import neighbor
+
+    best = jnp.full_like(w, BIG)
+    for d in range(1, 9):
+        cand = _clip(neighbor(w, d, boundary) + costs[d - 1])
+        best = jnp.minimum(best, cand)
+    return jnp.minimum(w, jnp.maximum(floor, best))
+
+
+def minplus_sweep_once(w, floor, costs, boundary):
+    """One iteration: W→E, E→W, N→S, S→N scans + one Jacobi step.
+
+    ``costs``: (8, H, W); index k is the cost into a cell from its
+    direction-(k+1) neighbor (package D8 encoding: 1=W, 3=N, 5=E, 7=S).
+    """
+    w = _axis_sweep(w, floor, costs[0], axis=-1, reverse=False,
+                    boundary=boundary)  # from W neighbors, sweeping east
+    w = _axis_sweep(w, floor, costs[4], axis=-1, reverse=True,
+                    boundary=boundary)  # from E neighbors, sweeping west
+    w = _axis_sweep(w, floor, costs[2], axis=-2, reverse=False,
+                    boundary=boundary)  # from N neighbors, sweeping south
+    w = _axis_sweep(w, floor, costs[6], axis=-2, reverse=True,
+                    boundary=boundary)  # from S neighbors, sweeping north
+    w = jacobi_step(w, floor, costs, boundary)
+    return w
+
+
+@partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def minplus_fixpoint(w0, floor, costs, boundary, max_iters=256,
+                     check_every=1):
+    """Iterate sweeps to convergence.
+
+    Returns ``(w, iters, converged)``.  ``costs`` may be scalar (uniform
+    edge cost, e.g. fill epsilon) or an (8, H, W) array; ``boundary`` is
+    the off-grid value (scalar).
+
+    Monotone: ``w`` only decreases, so exact-equality convergence detection
+    is sound.
+    """
+    w0 = jnp.asarray(w0)
+    floor = jnp.broadcast_to(jnp.asarray(floor, w0.dtype), w0.shape)
+    costs = jnp.broadcast_to(
+        jnp.asarray(costs, w0.dtype), (8,) + w0.shape)
+    boundary = jnp.asarray(boundary, w0.dtype)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(state):
+        w, it, _ = state
+        new = w
+        for _ in range(check_every):
+            new = minplus_sweep_once(new, floor, costs, boundary)
+        done = jnp.all(new == w)
+        return new, it + check_every, done
+
+    w, iters, done = lax.while_loop(cond, body, (w0, jnp.int32(0),
+                                                 jnp.bool_(False)))
+    return w, iters, done

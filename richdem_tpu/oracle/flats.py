@@ -9,7 +9,11 @@ integer ``flat_mask`` of tiny virtual increments from two synchronized BFS
 distance fields:
 
 * ``T(c)`` — hop distance *towards lower* terrain: BFS seeded at the flat's
-  outlet cells (cells in the flat that already have a flow direction).
+  outlet cells: cells in the flat that already have a flow direction, plus
+  *virtual drains* — NO_FLOW flat cells on the raster border or 8-adjacent
+  to nodata.  (Fill treats border/nodata as drains — SURVEY.md appendix
+  A.2 — so a lake spilling over the border must resolve toward it; the
+  drain cells themselves keep NO_FLOW and absorb flow.)
 * ``D(c)`` — hop distance *away from higher* terrain: BFS seeded (D=1) at
   flat cells adjacent to strictly higher ground.
 
@@ -61,6 +65,18 @@ def flat_mask_and_labels(dem, flowdirs, no_data=None):
 
     noflow = (fd == NO_FLOW) & ~nodata
 
+    # Virtual drains: NO_FLOW cells that sit on the grid border or touch
+    # nodata — they drain off-grid (fill semantics) and absorb flow.
+    drain = np.zeros((h, w), dtype=bool)
+    drain[0, :] = drain[-1, :] = drain[:, 0] = drain[:, -1] = True
+    pad = np.pad(nodata, 1, constant_values=False)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            drain |= pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+    drain &= noflow
+
     # --- label flats: flood equal elevation regions from NO_FLOW cells ---
     labels = np.zeros((h, w), dtype=np.int32)
     next_label = 1
@@ -94,10 +110,11 @@ def flat_mask_and_labels(dem, flowdirs, no_data=None):
         for c in range(w):
             if not in_flat[r, c]:
                 continue
-            if not noflow[r, c]:
-                t_queue.append((r, c))  # outlet: T = 0
+            if not noflow[r, c] or drain[r, c]:
+                t_queue.append((r, c))  # outlet (real or virtual): T = 0
                 drainable.add(int(labels[r, c]))
-                continue
+                if not noflow[r, c]:
+                    continue
             for _, nr, nc in _neighbors(r, c, h, w):
                 if not nodata[nr, nc] and z[nr, nc] > z[r, c]:
                     away[r, c] = 1
@@ -136,7 +153,7 @@ def flat_mask_and_labels(dem, flowdirs, no_data=None):
     mask = np.zeros((h, w), dtype=np.int32)
     for r in range(h):
         for c in range(w):
-            if not noflow[r, c] or labels[r, c] == 0:
+            if not noflow[r, c] or drain[r, c] or labels[r, c] == 0:
                 continue
             lbl = int(labels[r, c])
             if lbl not in drainable or not visited_t[r, c]:

@@ -5,11 +5,21 @@ tested single-machine, as the reference does with mpirun -n N on one box)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) overrides the JAX_PLATFORMS env var;
+# forcing the config AFTER import reliably selects the 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+# Allow float64 fidelity when comparing device ops against the float64
+# oracle (ops remain dtype-explicit; the TPU path uses float32).
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,55 @@
+"""Device flat resolution vs oracle — resolved flow directions must match
+bitwise (BFS levels == min-plus fixpoint levels)."""
+
+import numpy as np
+import pytest
+
+from richdem_tpu import synth, oracle
+from richdem_tpu.ops.flats import resolve_flats
+from richdem_tpu.topology import NO_FLOW
+
+
+DEMS = {
+    "plateau": lambda: synth.plateau_dem(32, dtype=np.float64),
+    "plateau_large_margin": lambda: synth.plateau_dem(40, margin=8,
+                                                      dtype=np.float64),
+    "filled_depressions": lambda: oracle.priority_flood_fill(
+        synth.depression_dem(40, seed=3, dtype=np.float64)),
+    "filled_perlin": lambda: oracle.priority_flood_fill(
+        synth.perlin_dem(40, seed=9, dtype=np.float64)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(DEMS))
+def test_matches_oracle_bitwise(name):
+    dem = DEMS[name]()
+    fd = oracle.d8_flowdirs(dem)
+    got = np.asarray(resolve_flats(dem, fd))
+    want = oracle.resolve_flats(dem, fd)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_no_flats_noop():
+    dem = synth.cone_dem(33, dtype=np.float64)
+    fd = oracle.d8_flowdirs(dem)
+    got = np.asarray(resolve_flats(dem, fd))
+    np.testing.assert_array_equal(got, fd)
+
+
+def test_nodata_flats():
+    dem = synth.plateau_dem(32, dtype=np.float64)
+    dem = synth.with_nodata_holes(dem, no_data=-9999.0, seed=2, n_holes=1,
+                                  max_radius=3)
+    fd = oracle.d8_flowdirs(dem, no_data=-9999.0)
+    got = np.asarray(resolve_flats(dem, fd, no_data=-9999.0))
+    want = oracle.resolve_flats(dem, fd, no_data=-9999.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_resolved_fills_drain():
+    """Post-fill + resolve, only border/edge outlet cells keep NO_FLOW."""
+    dem = oracle.priority_flood_fill(
+        synth.depression_dem(40, seed=5, dtype=np.float64))
+    fd = np.asarray(resolve_flats(dem, oracle.d8_flowdirs(dem)))
+    interior = fd[1:-1, 1:-1]
+    assert (interior == NO_FLOW).sum() == 0
