@@ -16,6 +16,9 @@ fixpoint iterations built from three primitives:
 Each op is gated on allclose agreement with :mod:`richdem_tpu.oracle`.
 """
 
+from richdem_tpu.ops import (  # noqa: F401 — submodule access (ops.fill etc.)
+    accum, fill, flats, flowdirs, sweeps, stencil, terrain,
+)
 from richdem_tpu.ops.terrain import terrain_attribute, slope_riserun
 from richdem_tpu.ops.flowdirs import (
     d8_flowdirs, rho8_flowdirs, dinf_flowdirs, flow_proportions,

@@ -28,7 +28,7 @@ from richdem_tpu.ops.stencil import neighbor
 from richdem_tpu.topology import DX, DY, D8_INVERSE
 
 __all__ = ["flow_accumulation_from_props", "d8_accumulation",
-           "accumulation_jacobi_info"]
+           "d8_accumulation_doubling", "accumulation_jacobi_info"]
 
 
 def _inflow_step(acc, props):
@@ -121,9 +121,12 @@ def _d8_doubling_impl(flowdirs, weights, rounds):
     return acc[:n].reshape(h, w)
 
 
-def d8_accumulation(flowdirs, weights=None, no_data_mask=None,
-                    rounds=None):
-    """Exact D8 accumulation in ⌈log₂(n)⌉ scatter-add rounds."""
+def d8_accumulation_doubling(flowdirs, weights=None, no_data_mask=None,
+                             rounds=None):
+    """Exact D8 accumulation in ⌈log₂(n)⌉ scatter-add rounds.
+
+    Log-depth but scatter-bound on TPU (~100M random accesses/s); prefer
+    :func:`d8_accumulation` (Gauss–Seidel line sweeps) for large grids."""
     fd = jnp.asarray(flowdirs)
     h, w = fd.shape
     if weights is None:
@@ -135,6 +138,142 @@ def d8_accumulation(flowdirs, weights=None, no_data_mask=None,
     if rounds is None:
         rounds = max(1, int(np.ceil(np.log2(max(h * w, 2)))))
     acc = _d8_doubling_impl(fd, weights, rounds)
+    if no_data_mask is not None:
+        acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    return acc
+
+
+# -- D8 Gauss–Seidel directional line sweeps ----------------------------
+#
+# The fast path on TPU.  One "sweep" processes grid lines sequentially in
+# one of the 4 axis directions (lax.scan over lines); within a step the
+# new values of the previous line feed the current line, so any flow-path
+# segment that advances monotonically in the sweep direction is resolved
+# in ONE sweep regardless of its length.  Measured on fractal terrain,
+# flow paths change x (or y) direction at most ~once (valley runs are
+# monotone), so a few E/S/W/N rotations converge where Jacobi needs
+# O(longest-path) = O(grid-size) iterations and pointer doubling needs
+# ~27 scatter rounds.  This is the single-chip analog of the reference's
+# wave-of-sweeps design philosophy, applied to the accumulation recurrence
+# A = w + Pᵀ A (a linear Gauss–Seidel splitting: monotone nondecreasing,
+# exact-equality convergence detection).
+
+def _code_remap(fd, perm):
+    """Remap direction codes under a grid transform (tiny select chain)."""
+    out = fd
+    for src in range(1, 9):
+        dst = perm[src]
+        if dst != src:
+            out = jnp.where(fd == src, jnp.int8(dst), out)
+    return out
+
+#: code permutations under grid transforms
+_PERM_FLIPUD = {0: 0, 1: 1, 2: 8, 3: 7, 4: 6, 5: 5, 6: 4, 7: 3, 8: 2}
+_PERM_TRANSPOSE = {0: 0, 1: 3, 2: 2, 3: 1, 4: 8, 5: 7, 6: 6, 7: 5, 8: 4}
+
+
+def _roll_up(x):
+    """x[r+1] at row r (value from the next line), zero at the last row."""
+    return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+
+
+def _roll_down(x):
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def _shift_w(v):  # value of west neighbor within a line vector (W,)
+    return jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]], axis=0)
+
+
+def _shift_e(v):
+    return jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+
+
+def _gs_down_sweep(acc, w, fd):
+    """One top→bottom Gauss–Seidel sweep of A = w + Pᵀ A.
+
+    Contributions from the previous (above) line use NEW values; the
+    within-line and next-line contributions use the old ``acc``."""
+    fd_prev = _roll_down(fd)       # line r-1's codes, aligned to line r
+    fd_next = _roll_up(fd)
+    acc_next = _roll_up(acc)
+
+    xs = (w, fd, fd_prev, fd_next, acc, acc_next)
+
+    def body(prev_new, x):
+        w_l, fd_l, fdp, fdn, a_l, a_n = x
+        # NEW: from the line above — straight S(7), SE(6) from west
+        # source, SW(8) from east source.
+        newc = (prev_new * (fdp == 7)
+                + _shift_w(prev_new * (fdp == 6))
+                + _shift_e(prev_new * (fdp == 8)))
+        # OLD: from the line below — N(3), NE(4) from west src, NW(2)
+        # from east src.
+        oldb = (a_n * (fdn == 3)
+                + _shift_w(a_n * (fdn == 4))
+                + _shift_e(a_n * (fdn == 2)))
+        # OLD: within the line — E(5) from west neighbor, W(1) from east.
+        oldl = _shift_w(a_l * (fd_l == 5)) + _shift_e(a_l * (fd_l == 1))
+        new = w_l + newc + oldb + oldl
+        return new, new
+
+    _, out = jax.lax.scan(body, jnp.zeros_like(acc[0]), xs)
+    return out
+
+
+def _gs_rotation(acc, w, fd, fd_t):
+    """One full E, S, W, N rotation of directional GS sweeps."""
+    # S-sweep (identity orientation)
+    acc = _gs_down_sweep(acc, w, fd)
+    # N-sweep (flipud)
+    acc = jnp.flipud(_gs_down_sweep(jnp.flipud(acc), jnp.flipud(w),
+                                    jnp.flipud(fd_t["ud"])))
+    # E-sweep (transpose)
+    acc = _gs_down_sweep(acc.T, w.T, fd_t["tr"]).T
+    # W-sweep (transpose + flip)
+    acc = jnp.flipud(_gs_down_sweep(
+        jnp.flipud(acc.T), jnp.flipud(w.T), jnp.flipud(fd_t["trud"]))).T
+    return acc
+
+
+@partial(jax.jit, static_argnames=("max_rotations",))
+def _d8_gs_impl(flowdirs, weights, max_rotations=64):
+    fd = jnp.asarray(flowdirs).astype(jnp.int8)
+    w = weights
+    # Precompute code-remapped flow directions for each orientation.
+    fd_t = {
+        "ud": _code_remap(fd, _PERM_FLIPUD),
+        "tr": _code_remap(fd.T, _PERM_TRANSPOSE),
+    }
+    fd_t["trud"] = _code_remap(fd_t["tr"], _PERM_FLIPUD)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_rotations)
+
+    def body(state):
+        acc, it, _ = state
+        new = _gs_rotation(acc, w, fd, fd_t)
+        return new, it + 1, jnp.all(new == acc)
+
+    done0 = jnp.any(w != w)
+    acc, _, _ = jax.lax.while_loop(cond, body, (w, jnp.int32(0), done0))
+    return acc
+
+
+def d8_accumulation(flowdirs, weights=None, no_data_mask=None,
+                    max_rotations=64):
+    """Exact D8 accumulation via Gauss–Seidel directional line sweeps —
+    the TPU fast path (see block comment above)."""
+    fd = jnp.asarray(flowdirs)
+    h, wdt = fd.shape
+    if weights is None:
+        weights = jnp.ones((h, wdt), jnp.float32)
+    else:
+        weights = jnp.asarray(weights, jnp.float32)
+    if no_data_mask is not None:
+        weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
+    acc = _d8_gs_impl(fd, weights, max_rotations=max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
     return acc

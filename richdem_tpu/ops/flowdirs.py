@@ -57,12 +57,15 @@ def _steepest(slopes, dirs):
     return jnp.where(best > 0, dir_codes[k], jnp.int8(NO_FLOW))
 
 
-@partial(jax.jit, static_argnames=("topology",))
-def _d8_flowdirs_impl(z, nodata_mask, cellsize, topology):
+def d8_core(z, nodata_mask, cellsize, topology="D8"):
+    """Un-jitted core (reused by the sharded wrapper)."""
     dirs = (1, 3, 5, 7) if topology == "D4" else (1, 2, 3, 4, 5, 6, 7, 8)
     slopes = _neighbor_slopes(z, nodata_mask, cellsize, dirs)
     fd = _steepest(slopes, dirs)
     return jnp.where(nodata_mask, jnp.int8(FLOWDIR_NO_DATA), fd)
+
+
+_d8_flowdirs_impl = partial(jax.jit, static_argnames=("topology",))(d8_core)
 
 
 def d8_flowdirs(dem, no_data=None, topology="D8", cellsize=1.0):

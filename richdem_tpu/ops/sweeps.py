@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["BIG", "minplus_fixpoint", "minplus_sweep_once", "jacobi_step"]
+__all__ = ["BIG", "minplus_fixpoint", "minplus_fixpoint_core",
+           "minplus_sweep_once", "jacobi_step"]
 
 #: Finite stand-in for infinity (fits comfortably in float32).
 BIG = 1.0e30
@@ -114,18 +115,10 @@ def minplus_sweep_once(w, floor, costs, boundary):
     return w
 
 
-@partial(jax.jit, static_argnames=("max_iters", "check_every"))
-def minplus_fixpoint(w0, floor, costs, boundary, max_iters=256,
-                     check_every=1):
-    """Iterate sweeps to convergence.
-
-    Returns ``(w, iters, converged)``.  ``costs`` may be scalar (uniform
-    edge cost, e.g. fill epsilon) or an (8, H, W) array; ``boundary`` is
-    the off-grid value (scalar).
-
-    Monotone: ``w`` only decreases, so exact-equality convergence detection
-    is sound.
-    """
+def minplus_fixpoint_core(w0, floor, costs, boundary, max_iters=256,
+                          check_every=1):
+    """Un-jitted fixpoint core — usable inside ``shard_map``/other jits.
+    See :func:`minplus_fixpoint`."""
     w0 = jnp.asarray(w0)
     floor = jnp.broadcast_to(jnp.asarray(floor, w0.dtype), w0.shape)
     costs = jnp.broadcast_to(
@@ -144,6 +137,25 @@ def minplus_fixpoint(w0, floor, costs, boundary, max_iters=256,
         done = jnp.all(new == w)
         return new, it + check_every, done
 
-    w, iters, done = lax.while_loop(cond, body, (w0, jnp.int32(0),
-                                                 jnp.bool_(False)))
+    # Derive the initial flag from the data so its sharding/varying-axes
+    # annotation matches the body's output under shard_map.
+    done0 = jnp.any(w0 != w0)  # always False
+    w, iters, done = lax.while_loop(cond, body, (w0, jnp.int32(0), done0))
     return w, iters, done
+
+
+@partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def minplus_fixpoint(w0, floor, costs, boundary, max_iters=256,
+                     check_every=1):
+    """Iterate sweeps to convergence (jitted entry).
+
+    Returns ``(w, iters, converged)``.  ``costs`` may be scalar (uniform
+    edge cost, e.g. fill epsilon) or an (8, H, W) array; ``boundary`` is
+    the off-grid value (scalar).
+
+    Monotone: ``w`` only decreases, so exact-equality convergence detection
+    is sound.
+    """
+    return minplus_fixpoint_core(w0, floor, costs, boundary,
+                                 max_iters=max_iters,
+                                 check_every=check_every)

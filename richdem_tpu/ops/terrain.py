@@ -37,8 +37,9 @@ def _window(z, nodata_mask):
     return (nb(2), nb(3), nb(4), nb(1), z, nb(5), nb(8), nb(7), nb(6))
 
 
-@partial(jax.jit, static_argnames=("attrib",))
-def _terrain_impl(z, nodata_mask, zscale, cellsize, attrib):
+def terrain_core(z, nodata_mask, zscale, cellsize, attrib):
+    """Un-jitted core (reused by the sharded wrapper in
+    :mod:`richdem_tpu.parallel.sharded`)."""
     compute = (z.astype(jnp.float32) if z.dtype not in
                (jnp.float32, jnp.float64) else z) * zscale
     L = cellsize.astype(compute.dtype)
@@ -78,6 +79,9 @@ def _terrain_impl(z, nodata_mask, zscale, cellsize, attrib):
                 -2.0 * (D * G * G + E * H * H + F * G * H)
                 / jnp.maximum(g2h2, 1e-30) * 100.0)
     return jnp.where(nodata_mask, jnp.nan, out)
+
+
+_terrain_impl = partial(jax.jit, static_argnames=("attrib",))(terrain_core)
 
 
 def terrain_attribute(dem, attrib, zscale=1.0, cellsize=1.0, no_data=None):

@@ -1,0 +1,163 @@
+"""Sharded terrain ops: ``shard_map`` + halo exchange over a 2-D mesh.
+
+The distribution recipe (SURVEY.md §5.7, recasting [P1]'s tile algorithm):
+
+* **stencil ops** (terrain attributes, flow metrics): one halo exchange,
+  run the single-device core on the extended block, crop — output is
+  bitwise identical to the single-device op;
+* **fill**: block-Schwarz iteration — each outer step exchanges a 1-cell
+  halo of the current surface, solves the *local* fill fixpoint exactly on
+  the extended block (halo ring clamped as boundary data), and reduces a
+  global changed-flag with ``psum``.  Monotone ⇒ converges to the same
+  least fixpoint as the serial algorithm, in O(mesh diameter) outer steps;
+* **D8 accumulation**: the pointer-doubling kernel runs under plain ``jit``
+  on sharded arrays — XLA GSPMD partitions the gathers/scatters (a
+  perimeter-graph two-pass fast path per [P2] is the planned upgrade).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from richdem_tpu.ops.sweeps import BIG, minplus_fixpoint_core
+from richdem_tpu.ops.terrain import terrain_core
+from richdem_tpu.ops.flowdirs import d8_core
+from richdem_tpu.ops import accum as accum_ops
+from richdem_tpu.parallel.mesh import make_mesh, grid_sharding
+from richdem_tpu.parallel.halo import exchange_halo
+
+__all__ = ["sharded_fill", "sharded_terrain_attribute",
+           "sharded_d8_flowdirs", "sharded_accumulation_d8",
+           "sharded_pipeline"]
+
+
+def _put(x, mesh):
+    return jax.device_put(x, grid_sharding(mesh))
+
+
+def _global_any(flag):
+    """All-reduce a per-shard bool over both mesh axes."""
+    v = lax.psum(lax.psum(flag.astype(jnp.int32), "x"), "y")
+    return v > 0
+
+
+def sharded_fill(dem, mesh=None, nodata_mask=None, eps=0.0,
+                 outer_iters=128, inner_iters=128):
+    """Depression fill, domain-decomposed.  Allclose-identical to
+    :func:`richdem_tpu.ops.fill.fill_depressions`."""
+    mesh = make_mesh() if mesh is None else mesh
+    z = _put(jnp.asarray(dem), mesh)
+    if nodata_mask is None:
+        nodata_mask = jnp.zeros(z.shape, bool)
+    mask = _put(jnp.asarray(nodata_mask), mesh)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+             out_specs=P("y", "x"))
+    def run(zb, mb):
+        neg = jnp.asarray(-BIG, zb.dtype)
+        floor_in = jnp.where(mb, neg, zb)
+        w_init = jnp.where(mb, neg, jnp.asarray(BIG, zb.dtype))
+
+        def cond(state):
+            _, it, done = state
+            return jnp.logical_and(~done, it < outer_iters)
+
+        def body(state):
+            w, it, _ = state
+            ext = exchange_halo(w, halo=1, fill=-BIG)
+            # Halo ring: clamp to incoming values (floor == w0 == value).
+            floor_ext = ext.at[1:-1, 1:-1].set(floor_in)
+            new_ext, _, _ = minplus_fixpoint_core(
+                ext, floor_ext, jnp.asarray(eps, zb.dtype),
+                boundary=jnp.asarray(-BIG, zb.dtype),
+                max_iters=inner_iters)
+            new = new_ext[1:-1, 1:-1]
+            changed = jnp.any(new != w)
+            return new, it + 1, ~_global_any(changed)
+
+        w, _, _ = lax.while_loop(cond, body,
+                                 (w_init, jnp.int32(0), jnp.bool_(False)))
+        return jnp.where(mb, zb, w)
+
+    return run(z, mask)
+
+
+def _stencil_sharded(mesh, z, mask, core):
+    """One-halo-exchange wrapper for pure 3x3 stencil cores."""
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+             out_specs=P("y", "x"))
+    def run(zb, mb):
+        ext_z = exchange_halo(zb, halo=1, fill=jnp.nan)
+        ext_m = exchange_halo(mb, halo=1, fill=True)
+        ext_m = ext_m | jnp.isnan(ext_z)
+        out = core(ext_z, ext_m)
+        return out[1:-1, 1:-1]
+
+    return run(z, mask)
+
+
+def sharded_terrain_attribute(dem, attrib, mesh=None, zscale=1.0,
+                              cellsize=1.0, nodata_mask=None):
+    """Terrain attribute, domain-decomposed (bitwise == single device)."""
+    mesh = make_mesh() if mesh is None else mesh
+    z = _put(jnp.asarray(dem), mesh)
+    if nodata_mask is None:
+        nodata_mask = jnp.zeros(z.shape, bool)
+    mask = _put(jnp.asarray(nodata_mask), mesh)
+    zs = jnp.asarray(zscale, jnp.float32)
+    cs = jnp.asarray(cellsize, jnp.float32)
+    return _stencil_sharded(
+        mesh, z, mask,
+        lambda zb, mb: terrain_core(zb, mb, zs, cs, attrib))
+
+
+def sharded_d8_flowdirs(dem, mesh=None, nodata_mask=None, cellsize=1.0,
+                        topology="D8"):
+    """D8 flow directions, domain-decomposed (bitwise == single device)."""
+    mesh = make_mesh() if mesh is None else mesh
+    z = _put(jnp.asarray(dem), mesh)
+    if nodata_mask is None:
+        nodata_mask = jnp.zeros(z.shape, bool)
+    mask = _put(jnp.asarray(nodata_mask), mesh)
+    cs = jnp.asarray(cellsize, jnp.float32)
+    return _stencil_sharded(
+        mesh, z, mask,
+        lambda zb, mb: d8_core(zb, mb, cs, topology))
+
+
+def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
+                            no_data_mask=None):
+    """D8 accumulation on sharded arrays via GSPMD-partitioned pointer
+    doubling (correctness path; [P2]-style two-pass is the fast path)."""
+    mesh = make_mesh() if mesh is None else mesh
+    fd = _put(jnp.asarray(flowdirs), mesh)
+    return accum_ops.d8_accumulation(fd, weights=weights,
+                                     no_data_mask=no_data_mask)
+
+
+def sharded_pipeline(dem, mesh=None, eps=1e-3, nodata_mask=None,
+                     cellsize=1.0):
+    """The benchmark pipeline (BASELINE.md config 5): epsilon fill →
+    D8 flow directions → accumulation → slope, all domain-decomposed.
+
+    Returns a dict of rasters."""
+    mesh = make_mesh() if mesh is None else mesh
+    filled = sharded_fill(dem, mesh=mesh, eps=eps,
+                          nodata_mask=nodata_mask)
+    fd = sharded_d8_flowdirs(filled, mesh=mesh, nodata_mask=nodata_mask,
+                             cellsize=cellsize)
+    acc = sharded_accumulation_d8(fd, mesh=mesh,
+                                  no_data_mask=nodata_mask)
+    slope = sharded_terrain_attribute(filled, "slope_radians", mesh=mesh,
+                                      cellsize=cellsize,
+                                      nodata_mask=nodata_mask)
+    return {"filled": filled, "flowdirs": fd, "accum": acc,
+            "slope": slope}

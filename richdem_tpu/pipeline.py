@@ -1,0 +1,64 @@
+"""The flagship end-to-end pipeline: fill → flow directions → accumulation
+(+ slope/TWI), as one jittable step.
+
+This is the benchmark target of BASELINE.md (north star: grid-points/s for
+fill→flowdir→accum on a 10k×10k DEM) and the ``entry()`` model for the
+driver.  Single-device here; the domain-decomposed version lives in
+:func:`richdem_tpu.parallel.sharded.sharded_pipeline`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from richdem_tpu.ops.sweeps import BIG, minplus_fixpoint_core
+from richdem_tpu.ops.flowdirs import d8_core
+from richdem_tpu.ops.accum import _d8_doubling_impl
+from richdem_tpu.ops.terrain import terrain_core
+from richdem_tpu.methods import twi as _twi
+
+import numpy as np
+
+__all__ = ["terrain_pipeline", "make_pipeline"]
+
+
+def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
+    nodata = jnp.zeros(z.shape, bool)
+    neg = jnp.asarray(-BIG, z.dtype)
+    filled, _, _ = minplus_fixpoint_core(
+        jnp.full(z.shape, BIG, z.dtype), z, jnp.asarray(eps, z.dtype),
+        boundary=neg, max_iters=fill_iters)
+    fd = d8_core(filled, nodata, jnp.asarray(cellsize, jnp.float32))
+    acc = _d8_doubling_impl(fd, jnp.ones(z.shape, jnp.float32), rounds)
+    out = {"filled": filled, "flowdirs": fd, "accum": acc}
+    if with_twi:
+        slope = terrain_core(filled, nodata,
+                             jnp.asarray(1.0, jnp.float32),
+                             jnp.asarray(cellsize, jnp.float32),
+                             "slope_radians")
+        out["slope"] = slope
+        out["twi"] = _twi(acc, slope, cellsize=cellsize)
+    return out
+
+
+def make_pipeline(shape, eps=1e-3, cellsize=1.0, fill_iters=256,
+                  with_twi=False):
+    """A jitted ``step(dem) -> dict`` closure for a fixed grid shape."""
+    rounds = max(1, int(np.ceil(np.log2(max(shape[0] * shape[1], 2)))))
+
+    @jax.jit
+    def step(z):
+        return _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi)
+
+    return step
+
+
+def terrain_pipeline(dem, eps=1e-3, cellsize=1.0, fill_iters=256,
+                     with_twi=False):
+    """One-shot convenience wrapper around :func:`make_pipeline`."""
+    z = jnp.asarray(dem)
+    return make_pipeline(z.shape, eps, cellsize, fill_iters,
+                         with_twi)(z)
