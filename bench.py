@@ -35,18 +35,19 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 5))
     terrain = os.environ.get("BENCH_TERRAIN", "perlin")
 
-    from richdem_tpu import synth
+    # Terrain is generated ON DEVICE (synth_jax): the build host's memory
+    # bandwidth is pathologically low (~0.1-0.5 GB/s measured), so host-side
+    # numpy generation of large rasters takes minutes.
+    from richdem_tpu import synth_jax
     from richdem_tpu.pipeline import make_pipeline
 
-    gen = {"perlin": synth.perlin_dem, "depressions": synth.depression_dem,
-           "cone": synth.cone_dem}[terrain]
-    dem = gen(size, dtype=np.float32)
+    gen = {"perlin": synth_jax.perlin_dem,
+           "depressions": synth_jax.depression_dem,
+           "cone": synth_jax.cone_dem}[terrain]
+    z = jax.block_until_ready(gen(size))
     # Plain fill (the reference's FillDepressions default).  f32 ulp-scale
     # epsilons create a rounding-creep convergence tail — see ops/fill.py.
     eps = 0.0
-
-    import jax.numpy as jnp
-    z = jnp.asarray(dem)
     step = make_pipeline(z.shape, eps=eps, fill_iters=256)
 
     # Warmup/compile.

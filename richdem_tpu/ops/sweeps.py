@@ -31,7 +31,12 @@ Typical terrain converges in a handful of iterations; pathological spirals
 degrade gracefully toward the Jacobi bound.
 
 Infinities are represented by ±BIG (finite) so that blocked-edge arithmetic
-(``-inf + inf``) can never manufacture NaNs inside the scans.
+(``-inf + inf``) can never manufacture NaNs inside the scans.  No clamping
+is needed anywhere: every intermediate is bounded by (chain length)·BIG ≤
+1e6·1e30 ≪ float32 max, so sums cannot overflow.  (Do NOT reintroduce
+``jnp.clip`` inside ``_combine``: a scalar-bounded clip inside a lane-axis
+``associative_scan`` triggers a pathological XLA-TPU compile-time blowup —
+measured 160 s vs 0.8 s at 1024² on v5e.)
 """
 
 from __future__ import annotations
@@ -49,17 +54,13 @@ __all__ = ["BIG", "minplus_fixpoint", "minplus_fixpoint_core",
 BIG = 1.0e30
 
 
-def _clip(x):
-    return jnp.clip(x, -BIG, BIG)
-
-
 def _combine(a, b):
     """Compose clamp elements: apply ``a`` first, then ``b``."""
     ha, la, ea = a
     hb, lb, eb = b
-    h = jnp.minimum(hb, jnp.maximum(lb, _clip(ha + eb)))
-    low = jnp.maximum(lb, _clip(la + eb))
-    e = _clip(ea + eb)
+    h = jnp.minimum(hb, jnp.maximum(lb, ha + eb))
+    low = jnp.maximum(lb, la + eb)
+    e = ea + eb
     return h, low, e
 
 
@@ -70,16 +71,29 @@ def _axis_sweep(w, floor, cost_in, axis, reverse, boundary):
     predecessor along the sweep direction; ``boundary`` is the incoming
     value from off-grid (e.g. ``-BIG`` = the edge drains, ``+BIG`` = no
     injection).
+
+    The scan is ALWAYS performed along axis -2: a lane-axis (minor-dim)
+    ``associative_scan`` triggers a size-dependent XLA-TPU compile-time
+    blowup (minutes at 2048², hours at 8192² — measured on v5e), while the
+    equivalent transpose + major-axis scan compiles in ~1 s and the
+    transposes are cheap relayouts.
     """
+    axis = w.ndim + axis if axis < 0 else axis
+    transpose = axis == w.ndim - 1
+    if transpose:
+        w, floor, cost_in = (jnp.swapaxes(a, -1, -2)
+                             for a in (w, floor, cost_in))
     if reverse:
-        w = jnp.flip(w, axis)
-        floor = jnp.flip(floor, axis)
-        cost_in = jnp.flip(cost_in, axis)
+        w = jnp.flip(w, -2)
+        floor = jnp.flip(floor, -2)
+        cost_in = jnp.flip(cost_in, -2)
     h, low, e = lax.associative_scan(
-        _combine, (w, floor, cost_in), axis=axis)
-    out = jnp.minimum(h, jnp.maximum(low, _clip(boundary + e)))
+        _combine, (w, floor, cost_in), axis=-2)
+    out = jnp.minimum(h, jnp.maximum(low, boundary + e))
     if reverse:
-        out = jnp.flip(out, axis)
+        out = jnp.flip(out, -2)
+    if transpose:
+        out = jnp.swapaxes(out, -1, -2)
     return out
 
 
@@ -92,7 +106,7 @@ def jacobi_step(w, floor, costs, boundary):
 
     best = jnp.full_like(w, BIG)
     for d in range(1, 9):
-        cand = _clip(neighbor(w, d, boundary) + costs[d - 1])
+        cand = neighbor(w, d, boundary) + costs[d - 1]
         best = jnp.minimum(best, cand)
     return jnp.minimum(w, jnp.maximum(floor, best))
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from richdem_tpu.ops.sweeps import BIG, minplus_fixpoint_core
 from richdem_tpu.ops.flowdirs import d8_core
-from richdem_tpu.ops.accum import _d8_doubling_impl
+from richdem_tpu.ops.accum import _d8_gs_impl
 from richdem_tpu.ops.terrain import terrain_core
 from richdem_tpu.methods import twi as _twi
 
@@ -32,7 +32,8 @@ def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
         jnp.full(z.shape, BIG, z.dtype), z, jnp.asarray(eps, z.dtype),
         boundary=neg, max_iters=fill_iters)
     fd = d8_core(filled, nodata, jnp.asarray(cellsize, jnp.float32))
-    acc = _d8_doubling_impl(fd, jnp.ones(z.shape, jnp.float32), rounds)
+    acc = _d8_gs_impl(fd, jnp.ones(z.shape, jnp.float32),
+                      max_rotations=rounds)
     out = {"filled": filled, "flowdirs": fd, "accum": acc}
     if with_twi:
         slope = terrain_core(filled, nodata,
@@ -47,7 +48,10 @@ def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
 def make_pipeline(shape, eps=1e-3, cellsize=1.0, fill_iters=256,
                   with_twi=False):
     """A jitted ``step(dem) -> dict`` closure for a fixed grid shape."""
-    rounds = max(1, int(np.ceil(np.log2(max(shape[0] * shape[1], 2)))))
+    # Gauss–Seidel rotation cap: each rotation resolves every monotone
+    # flow-path segment, so convergence is O(direction changes), not
+    # O(path length); log2(n) is a generous ceiling.
+    rounds = max(4, int(np.ceil(np.log2(max(shape[0] * shape[1], 2)))))
 
     @jax.jit
     def step(z):
