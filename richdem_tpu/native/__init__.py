@@ -1,0 +1,171 @@
+"""ctypes bindings for the native CPU reference engine (core.cpp).
+
+The reference's algorithm core is header-only C++ (SURVEY.md §2.2); this
+package keeps a native single-core implementation too — not as the TPU
+compute path (that is JAX/XLA/Pallas) but as:
+
+* the **measured CPU baseline** for ``bench.py`` (BASELINE.md's ">10× a
+  single CPU core" target divides by this engine's real throughput);
+* a **fast oracle** for correctness gates on grids too large for the
+  pure-Python heap oracle.
+
+The shared library is built on demand with ``g++ -O3`` (no pybind11 in this
+environment — plain C ABI + ctypes).  Everything degrades gracefully:
+``available()`` returns False and callers fall back to the Python oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["available", "fill", "fill_flowdirs", "fill_watersheds",
+           "d8_flowdirs", "accum_d8", "accum_props"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "core.cpp")
+_LIB = os.path.join(_DIR, "librichdem_native.so")
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+           "-o", _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except (OSError, subprocess.CalledProcessError):
+            _failed = True
+            return None
+
+        i64, f64 = ctypes.c_int64, ctypes.c_double
+        p64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        pi8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+        lib.rn_fill.argtypes = [p64, i64, i64, f64, ctypes.c_int, f64,
+                                ctypes.c_void_p, ctypes.c_void_p]
+        lib.rn_fill.restype = ctypes.c_int
+        lib.rn_d8_flowdirs.argtypes = [p64, pi8, i64, i64, f64,
+                                       ctypes.c_int, f64, ctypes.c_int]
+        lib.rn_d8_flowdirs.restype = ctypes.c_int
+        lib.rn_accum_props.argtypes = [p64, ctypes.c_void_p, p64, i64, i64]
+        lib.rn_accum_props.restype = ctypes.c_int
+        lib.rn_accum_d8.argtypes = [pi8, ctypes.c_void_p, p64, i64, i64]
+        lib.rn_accum_d8.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True if the native engine built and loaded on this host."""
+    return _load() is not None
+
+
+def _nodata_args(no_data):
+    if no_data is None:
+        return 0.0, 0
+    return float(no_data), 1
+
+
+def _fill_impl(dem, no_data, eps, want_fd=False, want_labels=False):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable (g++ build failed)")
+    z = np.array(dem, dtype=np.float64, copy=True, order="C")
+    h, w = z.shape
+    fd = np.full((h, w), -1, np.int8) if want_fd else None
+    labels = np.full((h, w), -1, np.int64) if want_labels else None
+    nd, has_nd = _nodata_args(no_data)
+    rc = lib.rn_fill(
+        z, h, w, nd, has_nd, float(eps),
+        fd.ctypes.data_as(ctypes.c_void_p) if want_fd else None,
+        labels.ctypes.data_as(ctypes.c_void_p) if want_labels else None)
+    if rc != 0:
+        raise RuntimeError(f"rn_fill failed ({rc})")
+    return z, fd, labels
+
+
+def fill(dem, no_data=None, eps=0.0):
+    """Priority-Flood fill (plain or epsilon); float64 copy returned."""
+    z, _, _ = _fill_impl(dem, no_data, eps)
+    return z
+
+
+def fill_flowdirs(dem, no_data=None):
+    """(filled, flowdirs) — directions assigned during the flood."""
+    z, fd, _ = _fill_impl(dem, no_data, 0.0, want_fd=True)
+    return z, fd
+
+
+def fill_watersheds(dem, no_data=None):
+    """(filled, labels) — seed-index watershed labels."""
+    z, _, labels = _fill_impl(dem, no_data, 0.0, want_labels=True)
+    return z, labels
+
+
+def d8_flowdirs(dem, no_data=None, cellsize=1.0, topology="D8"):
+    """Steepest-descent D8/D4 directions (package tie-break order)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    z = np.ascontiguousarray(dem, dtype=np.float64)
+    h, w = z.shape
+    fd = np.empty((h, w), np.int8)
+    nd, has_nd = _nodata_args(no_data)
+    lib.rn_d8_flowdirs(z, fd, h, w, nd, has_nd, float(cellsize),
+                       1 if topology == "D4" else 0)
+    return fd
+
+
+def accum_d8(flowdirs, weights=None):
+    """Topological-queue D8 accumulation; raises on cycles."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    fd = np.ascontiguousarray(flowdirs, dtype=np.int8)
+    h, w = fd.shape
+    acc = np.empty((h, w), np.float64)
+    wptr = None
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, dtype=np.float64)
+        wptr = weights.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.rn_accum_d8(fd, wptr, acc, h, w)
+    if rc != 0:
+        raise ValueError("flow graph has a cycle — fill the DEM first")
+    return acc
+
+
+def accum_props(props, weights=None):
+    """Topological-queue accumulation from (H, W, 8) proportions."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    props = np.ascontiguousarray(props, dtype=np.float64)
+    h, w, k = props.shape
+    assert k == 8, props.shape
+    acc = np.empty((h, w), np.float64)
+    wptr = None
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, dtype=np.float64)
+        wptr = weights.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.rn_accum_props(props, wptr, acc, h, w)
+    if rc != 0:
+        raise ValueError("flow graph has a cycle — fill the DEM first")
+    return acc

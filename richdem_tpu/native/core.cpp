@@ -1,0 +1,265 @@
+// Native CPU reference engine for richdem_tpu.
+//
+// The reference implements its entire algorithm core as header-only C++
+// (SURVEY.md §2.2: include/richdem/depressions/Barnes2014.hpp,
+// flowmet/d8_flowdirs.hpp, methods/flow_accumulation_generic.hpp).  This
+// translation unit is the TPU package's native counterpart, written
+// clean-room from the published pseudocode (Barnes, Lehman & Mulla 2014,
+// arxiv 1511.04463; appendix A of SURVEY.md):
+//
+//   * the single-core CPU baseline that bench.py MEASURES (vs_baseline is a
+//     real measurement, not an assumed constant);
+//   * a fast correctness oracle for grids where the pure-Python heap oracle
+//     is too slow.
+//
+// Semantics are identical to richdem_tpu/oracle/*.py (same D8 encoding,
+// same seed rule, same fixed-epsilon fill, same insertion-order heap
+// tie-break).  C ABI only; bound from Python via ctypes (no pybind11 in
+// this environment).
+//
+// Build: see Makefile (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace {
+
+// D8 topology — MUST match richdem_tpu/topology.py.
+//            d:  0   1   2   3   4   5   6   7   8
+//                .   W   NW  N   NE  E   SE  S   SW
+const int DX[9] = {0, -1, -1, 0, 1, 1, 1, 0, -1};
+const int DY[9] = {0, 0, -1, -1, -1, 0, 1, 1, 1};
+const int D8_INVERSE[9] = {0, 5, 6, 7, 8, 1, 2, 3, 4};
+const double SQRT2 = 1.4142135623730951;
+const double DR[9] = {0, 1, SQRT2, 1, SQRT2, 1, SQRT2, 1, SQRT2};
+const int8_t NO_FLOW = 0;
+const int8_t FLOWDIR_NO_DATA = -1;
+
+struct Cell {
+  double z;
+  int64_t k;  // insertion order: stable tie-break (GridCellZk semantics)
+  int32_t r, c;
+};
+struct CellGreater {
+  bool operator()(const Cell& a, const Cell& b) const {
+    if (a.z != b.z) return a.z > b.z;
+    return a.k > b.k;
+  }
+};
+using MinHeap = std::priority_queue<Cell, std::vector<Cell>, CellGreater>;
+
+inline bool is_nodata(double v, double no_data, int has_nodata) {
+  if (!has_nodata) return false;
+  if (std::isnan(no_data)) return std::isnan(v);
+  return v == no_data;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Priority-Flood fill (Barnes 2014 "improved" + epsilon variants), with
+// optional flow-direction and watershed-label outputs.
+//
+// z: (h*w) float64, modified in place.  eps: 0 = plain fill.
+// flowdirs_out: nullable int8 (h*w); labels_out: nullable int64 (h*w).
+// Returns 0 on success.
+int rn_fill(double* z, int64_t h, int64_t w, double no_data, int has_nodata,
+            double eps, int8_t* flowdirs_out, int64_t* labels_out) {
+  const int64_t n = h * w;
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<uint8_t> nodata(n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    nodata[i] = is_nodata(z[i], no_data, has_nodata);
+    visited[i] = nodata[i];
+  }
+  if (flowdirs_out)
+    for (int64_t i = 0; i < n; ++i) flowdirs_out[i] = FLOWDIR_NO_DATA;
+  if (labels_out)
+    for (int64_t i = 0; i < n; ++i) labels_out[i] = -1;
+
+  // Seeds: data cells on the border or 8-adjacent to nodata — scanned in
+  // row-major order so insertion indices match the Python oracle's
+  // np.nonzero order.
+  MinHeap heap;
+  int64_t k = 0;
+  for (int64_t r = 0; r < h; ++r) {
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (nodata[i]) continue;
+      bool seed = (r == 0 || r == h - 1 || c == 0 || c == w - 1);
+      if (!seed) {
+        for (int d = 1; d <= 8 && !seed; ++d) {
+          const int64_t nr = r + DY[d], nc = c + DX[d];
+          if (nr >= 0 && nr < h && nc >= 0 && nc < w &&
+              nodata[nr * w + nc])
+            seed = true;
+        }
+      }
+      if (seed) {
+        heap.push({z[i], k, (int32_t)r, (int32_t)c});
+        visited[i] = 1;
+        if (flowdirs_out) flowdirs_out[i] = NO_FLOW;
+        if (labels_out) labels_out[i] = k;
+        ++k;
+      }
+    }
+  }
+
+  // "Improved" variant: plain FIFO pit queue for cells at/below the
+  // current spill level — removes most heap operations [P3 §improved].
+  std::queue<Cell> pit;
+  while (!heap.empty() || !pit.empty()) {
+    Cell cell;
+    if (!pit.empty()) {
+      cell = pit.front();
+      pit.pop();
+    } else {
+      cell = heap.top();
+      heap.pop();
+    }
+    const int64_t ci = (int64_t)cell.r * w + cell.c;
+    const double zc = z[ci];
+    for (int d = 1; d <= 8; ++d) {
+      const int64_t nr = cell.r + DY[d], nc = cell.c + DX[d];
+      if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+      const int64_t ni = nr * w + nc;
+      if (visited[ni]) continue;
+      visited[ni] = 1;
+      const double lifted = zc + eps;
+      if (flowdirs_out) flowdirs_out[ni] = D8_INVERSE[d];
+      if (labels_out) labels_out[ni] = labels_out[ci];
+      if (z[ni] <= lifted) {
+        z[ni] = lifted;
+        pit.push({lifted, k++, (int32_t)nr, (int32_t)nc});
+      } else {
+        heap.push({z[ni], k++, (int32_t)nr, (int32_t)nc});
+      }
+    }
+  }
+  if (has_nodata)
+    for (int64_t i = 0; i < n; ++i)
+      if (nodata[i]) z[i] = no_data;
+  return 0;
+}
+
+// D8 steepest-descent flow directions (O'Callaghan 1984 semantics,
+// first-max tie-break in direction order 1..8).  d4 != 0 restricts to the
+// von Neumann directions {1,3,5,7}.
+int rn_d8_flowdirs(const double* z, int8_t* fd, int64_t h, int64_t w,
+                   double no_data, int has_nodata, double cellsize, int d4) {
+  for (int64_t r = 0; r < h; ++r) {
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (is_nodata(z[i], no_data, has_nodata)) {
+        fd[i] = FLOWDIR_NO_DATA;
+        continue;
+      }
+      double best = 0.0;
+      int best_d = NO_FLOW;
+      for (int d = 1; d <= 8; ++d) {
+        if (d4 && (d % 2 == 0)) continue;  // diagonals are even codes
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+        const double zn = z[nr * w + nc];
+        if (is_nodata(zn, no_data, has_nodata)) continue;
+        const double s = (z[i] - zn) / (DR[d] * cellsize);
+        if (s > best) {  // strict > keeps the FIRST max (oracle tie-break)
+          best = s;
+          best_d = d;
+        }
+      }
+      fd[i] = (int8_t)best_d;
+    }
+  }
+  return 0;
+}
+
+// Generic weighted flow accumulation from (h, w, 8) float64 proportions —
+// dependency-count topological propagation (Kahn), appendix A.6.
+// weights nullable (default 1 per cell).  Returns 0, or 1 if the flow
+// graph has a cycle (unfilled DEM).
+int rn_accum_props(const double* props, const double* weights, double* acc,
+                   int64_t h, int64_t w) {
+  const int64_t n = h * w;
+  std::vector<int32_t> deps(n, 0);
+  for (int64_t i = 0; i < n; ++i) acc[i] = weights ? weights[i] : 1.0;
+
+  for (int64_t r = 0; r < h; ++r)
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      for (int d = 1; d <= 8; ++d) {
+        if (props[i * 8 + d - 1] <= 0.0) continue;
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr >= 0 && nr < h && nc >= 0 && nc < w) ++deps[nr * w + nc];
+      }
+    }
+
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    if (deps[i] == 0) queue.push_back(i);
+  size_t head = 0;
+  int64_t processed = 0;
+  while (head < queue.size()) {
+    const int64_t i = queue[head++];
+    ++processed;
+    const int64_t r = i / w, c = i % w;
+    for (int d = 1; d <= 8; ++d) {
+      const double p = props[i * 8 + d - 1];
+      if (p <= 0.0) continue;
+      const int64_t nr = r + DY[d], nc = c + DX[d];
+      if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+      const int64_t ni = nr * w + nc;
+      acc[ni] += acc[i] * p;
+      if (--deps[ni] == 0) queue.push_back(ni);
+    }
+  }
+  return processed == n ? 0 : 1;
+}
+
+// D8 single-flow accumulation (the fast common case — no proportion
+// tensor).  fd values: 0 = NO_FLOW (absorbs), -1 = nodata (weight 0,
+// absorbs), 1..8 = direction.  Returns 0, or 1 on a cycle.
+int rn_accum_d8(const int8_t* fd, const double* weights, double* acc,
+                int64_t h, int64_t w) {
+  const int64_t n = h * w;
+  std::vector<int32_t> deps(n, 0);
+  for (int64_t i = 0; i < n; ++i)
+    acc[i] = fd[i] < 0 ? 0.0 : (weights ? weights[i] : 1.0);
+
+  for (int64_t r = 0; r < h; ++r)
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      const int d = fd[i];
+      if (d <= 0) continue;
+      const int64_t nr = r + DY[d], nc = c + DX[d];
+      if (nr >= 0 && nr < h && nc >= 0 && nc < w) ++deps[nr * w + nc];
+    }
+
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    if (deps[i] == 0) queue.push_back(i);
+  size_t head = 0;
+  int64_t processed = 0;
+  while (head < queue.size()) {
+    const int64_t i = queue[head++];
+    ++processed;
+    const int d = fd[i];
+    if (d <= 0) continue;
+    const int64_t r = i / w, c = i % w;
+    const int64_t nr = r + DY[d], nc = c + DX[d];
+    if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+    const int64_t ni = nr * w + nc;
+    acc[ni] += acc[i];
+    if (--deps[ni] == 0) queue.push_back(ni);
+  }
+  return processed == n ? 0 : 1;
+}
+
+}  // extern "C"

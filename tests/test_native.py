@@ -1,0 +1,115 @@
+"""Native C++ engine ↔ Python oracle equivalence.
+
+The backbone cross-validation pattern of the reference's test suite
+(SURVEY.md §4: independent implementations compared exactly) applied to the
+native engine: the C++ Priority-Flood/flowdirs/accumulation must reproduce
+the heap-based Python oracle bit-for-bit on every fixture."""
+
+import numpy as np
+import pytest
+
+from richdem_tpu import oracle, synth
+from richdem_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native engine did not build")
+
+
+def _fixtures():
+    return {
+        "cone": synth.cone_dem(33, dtype=np.float64),
+        "depressions": synth.depression_dem(48, seed=3, dtype=np.float64),
+        "perlin": synth.perlin_dem(40, seed=7, dtype=np.float64),
+        "plateau": synth.plateau_dem(32, dtype=np.float64),
+        "holes": synth.with_nodata_holes(
+            synth.depression_dem(48, seed=5, dtype=np.float64),
+            no_data=-9999.0),
+    }
+
+
+@pytest.mark.parametrize("name", list(_fixtures()))
+def test_fill_matches_oracle(name):
+    dem = _fixtures()[name]
+    nd = -9999.0 if name == "holes" else None
+    got = native.fill(dem, no_data=nd)
+    want = oracle.priority_flood_fill(dem, no_data=nd, dtype=np.float64)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("name", ["depressions", "holes"])
+def test_fill_epsilon_matches_oracle(name):
+    dem = _fixtures()[name]
+    nd = -9999.0 if name == "holes" else None
+    got = native.fill(dem, no_data=nd, eps=1e-3)
+    want = oracle.priority_flood_epsilon(dem, no_data=nd, eps=1e-3,
+                                         dtype=np.float64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fill_flowdirs_matches_oracle():
+    dem = _fixtures()["depressions"]
+    zf, fd = native.fill_flowdirs(dem)
+    zo, fo = oracle.priority_flood_flowdirs(dem)
+    np.testing.assert_array_equal(zf, zo.astype(np.float64))
+    np.testing.assert_array_equal(fd, fo)
+
+
+def test_fill_watersheds_matches_oracle():
+    dem = _fixtures()["depressions"]
+    zf, lb = native.fill_watersheds(dem)
+    zo, lo = oracle.priority_flood_watersheds(dem)
+    np.testing.assert_array_equal(zf, zo.astype(np.float64))
+    np.testing.assert_array_equal(lb, lo)
+
+
+@pytest.mark.parametrize("name", ["cone", "perlin", "holes"])
+def test_d8_flowdirs_matches_oracle(name):
+    dem = _fixtures()[name]
+    nd = -9999.0 if name == "holes" else None
+    filled = oracle.priority_flood_fill(dem, no_data=nd, dtype=np.float64)
+    got = native.d8_flowdirs(filled, no_data=nd)
+    want = oracle.d8_flowdirs(filled, no_data=nd)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_d4_flowdirs_matches_oracle():
+    dem = _fixtures()["cone"]
+    got = native.d8_flowdirs(dem, topology="D4")
+    want = oracle.d8_flowdirs(dem, topology="D4")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_accum_d8_matches_oracle():
+    dem = _fixtures()["perlin"]
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3, dtype=np.float64)
+    fd = oracle.d8_flowdirs(filled)
+    got = native.accum_d8(fd)
+    want = oracle.d8_accumulation(fd)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # mass conservation: everything drains somewhere
+    assert got.sum() > 0
+
+
+def test_accum_props_matches_oracle():
+    dem = _fixtures()["cone"]
+    props = oracle.flow_proportions(dem, method="Quinn")
+    got = native.accum_props(np.asarray(props, np.float64))
+    want = oracle.flow_accumulation_from_props(props)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_accum_weighted():
+    dem = _fixtures()["cone"]
+    fd = oracle.d8_flowdirs(dem)
+    w = np.full(dem.shape, 2.0)
+    got = native.accum_d8(fd, weights=w)
+    want = oracle.d8_accumulation(fd, weights=w)
+    np.testing.assert_allclose(got, want)
+
+
+def test_accum_cycle_raises():
+    fd = np.zeros((4, 4), np.int8)
+    fd[1, 1] = 5  # -> (1,2)
+    fd[1, 2] = 1  # -> (1,1): 2-cycle
+    with pytest.raises(ValueError, match="cycle"):
+        native.accum_d8(fd)
