@@ -66,14 +66,21 @@ def main():
     eps = 0.0
     step = make_pipeline(z.shape, eps=eps, fill_iters=256)
 
+    def run_once():
+        out = step(z)
+        # Force a device->host scalar round-trip: on the axon tunnel
+        # backend, block_until_ready() returns before execution finishes,
+        # so a materialized value is the only honest fence.
+        return float(out["accum"].sum())
+
     # Warmup/compile.
-    out = step(z)
-    jax.block_until_ready(out)
+    checksum = run_once()
+    assert checksum > 0, "pipeline produced empty accumulation"
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(step(z))
+        run_once()
         times.append(time.perf_counter() - t0)
     best = min(times)
     cells_per_s = size * size / best

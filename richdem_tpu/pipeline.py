@@ -5,6 +5,12 @@ This is the benchmark target of BASELINE.md (north star: grid-points/s for
 fill→flowdir→accum on a 10k×10k DEM) and the ``entry()`` model for the
 driver.  Single-device here; the domain-decomposed version lives in
 :func:`richdem_tpu.parallel.sharded.sharded_pipeline`.
+
+Backend dispatch: on TPU the hot stages run as Pallas kernels
+(:mod:`richdem_tpu.ops.pallas_sweeps` / ``ops.pallas_stencils``) — the XLA
+sweep graphs hit a size-dependent compile blowup on the TPU toolchain and
+the Pallas strip kernels are faster anyway; on CPU (tests, oracle
+cross-checks) the pure-XLA ops run the same math.
 """
 
 from __future__ import annotations
@@ -25,7 +31,11 @@ import numpy as np
 __all__ = ["terrain_pipeline", "make_pipeline"]
 
 
-def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pipeline_xla(z, eps, cellsize, fill_iters, rounds, with_twi):
     nodata = jnp.zeros(z.shape, bool)
     neg = jnp.asarray(-BIG, z.dtype)
     filled, _, _ = minplus_fixpoint_core(
@@ -34,6 +44,29 @@ def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
     fd = d8_core(filled, nodata, jnp.asarray(cellsize, jnp.float32))
     acc = _d8_gs_impl(fd, jnp.ones(z.shape, jnp.float32),
                       max_rotations=rounds)
+    return filled, fd, acc, nodata
+
+
+def _pipeline_pallas(z, eps, cellsize, fill_iters, rounds):
+    from richdem_tpu.ops.pallas_sweeps import (fill_fixpoint_pallas,
+                                               d8_accumulation_gs)
+    from richdem_tpu.ops.pallas_stencils import d8_flowdirs_pallas
+
+    nodata = jnp.zeros(z.shape, bool)
+    filled, _, _ = fill_fixpoint_pallas(z, eps=eps, max_iters=fill_iters)
+    fd = d8_flowdirs_pallas(filled, cellsize=cellsize)
+    acc = d8_accumulation_gs(fd, max_rotations=rounds)
+    return filled, fd, acc, nodata
+
+
+def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
+    if _use_pallas():
+        filled, fd, acc, nodata = _pipeline_pallas(z, eps, cellsize,
+                                                   fill_iters, rounds)
+    else:
+        filled, fd, acc, nodata = _pipeline_xla(z, eps, cellsize,
+                                                fill_iters, rounds,
+                                                with_twi)
     out = {"filled": filled, "flowdirs": fd, "accum": acc}
     if with_twi:
         slope = terrain_core(filled, nodata,
