@@ -115,12 +115,16 @@ def FillDepressions(dem, epsilon=False, in_place=False, topology="D8",
 def BreachDepressions(dem, in_place=False, mode="Complete", eps=0.0,
                       max_path_len=None, max_path_depth=None,
                       fill_remainder=False):
-    """Depression breaching (Lindsay 2016).  Currently oracle-backed on
-    host (the carving walk is inherently path-sequential — SURVEY.md §7
-    hard-part 5); a device least-cost variant is planned."""
+    """Depression breaching (Lindsay 2016) — a host op by design: the
+    carving walk is inherently path-sequential (SURVEY.md §7 hard-part 5)
+    and is serial C++ in the reference too.  Runs on the native C++ engine
+    when available, else the Python oracle; both are bit-identical."""
     cite("breach")
     rd = _as_rd(dem)
-    out = _breach_oracle.breach_depressions(
+    from richdem_tpu import native
+    impl = (native.breach_depressions if native.available()
+            else _breach_oracle.breach_depressions)
+    out = impl(
         rd.np(), no_data=rd.no_data, mode=mode, eps=eps,
         max_path_len=max_path_len, max_path_depth=max_path_depth,
         fill_remainder=fill_remainder)

@@ -24,7 +24,8 @@ import threading
 import numpy as np
 
 __all__ = ["available", "fill", "fill_flowdirs", "fill_watersheds",
-           "d8_flowdirs", "accum_d8", "accum_props"]
+           "d8_flowdirs", "accum_d8", "accum_props", "breach_depressions",
+           "resolve_flats", "flat_mask_and_labels"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "core.cpp")
@@ -69,6 +70,13 @@ def _load():
         lib.rn_accum_props.restype = ctypes.c_int
         lib.rn_accum_d8.argtypes = [pi8, ctypes.c_void_p, p64, i64, i64]
         lib.rn_accum_d8.restype = ctypes.c_int
+        lib.rn_breach.argtypes = [p64, i64, i64, f64, ctypes.c_int,
+                                  ctypes.c_int, f64, i64, f64]
+        lib.rn_breach.restype = ctypes.c_int
+        lib.rn_resolve_flats.argtypes = [p64, pi8, i64, i64, f64,
+                                         ctypes.c_int, ctypes.c_void_p,
+                                         ctypes.c_void_p]
+        lib.rn_resolve_flats.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -169,3 +177,61 @@ def accum_props(props, weights=None):
     if rc != 0:
         raise ValueError("flow graph has a cycle — fill the DEM first")
     return acc
+
+
+_MODES = {"Complete": 0, "Selective": 1, "Constrained": 2}
+
+
+def breach_depressions(dem, no_data=None, mode="Complete", eps=0.0,
+                       max_path_len=None, max_path_depth=None,
+                       fill_remainder=False):
+    """Lindsay 2016 breaching (native); mirrors oracle.breach_depressions."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {tuple(_MODES)}")
+    in_dtype = np.asarray(dem).dtype
+    z = np.array(dem, dtype=np.float64, copy=True, order="C")
+    h, w = z.shape
+    nd, has_nd = _nodata_args(no_data)
+    rc = lib.rn_breach(z, h, w, nd, has_nd, _MODES[mode], float(eps),
+                       -1 if max_path_len is None else int(max_path_len),
+                       -1.0 if max_path_depth is None
+                       else float(max_path_depth))
+    if rc != 0:
+        raise RuntimeError(f"rn_breach failed ({rc})")
+    if fill_remainder:
+        z = fill(z, no_data=no_data, eps=max(eps, 0.0))
+    return z.astype(in_dtype)
+
+
+def _flats_impl(dem, flowdirs, no_data, want_mask):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    z = np.ascontiguousarray(dem, dtype=np.float64)
+    fd = np.array(flowdirs, dtype=np.int8, copy=True, order="C")
+    h, w = z.shape
+    mask = np.zeros((h, w), np.int32) if want_mask else None
+    labels = np.zeros((h, w), np.int32) if want_mask else None
+    nd, has_nd = _nodata_args(no_data)
+    rc = lib.rn_resolve_flats(
+        z, fd, h, w, nd, has_nd,
+        mask.ctypes.data_as(ctypes.c_void_p) if want_mask else None,
+        labels.ctypes.data_as(ctypes.c_void_p) if want_mask else None)
+    if rc != 0:
+        raise RuntimeError(f"rn_resolve_flats failed ({rc})")
+    return fd, mask, labels
+
+
+def resolve_flats(dem, flowdirs, no_data=None):
+    """Flow directions with flats drained (BLM 2014); mirrors oracle."""
+    fd, _, _ = _flats_impl(dem, flowdirs, no_data, want_mask=False)
+    return fd
+
+
+def flat_mask_and_labels(dem, flowdirs, no_data=None):
+    """(flat_mask, labels) int32 rasters; mirrors oracle."""
+    _, mask, labels = _flats_impl(dem, flowdirs, no_data, want_mask=True)
+    return mask, labels

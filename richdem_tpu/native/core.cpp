@@ -263,3 +263,268 @@ int rn_accum_d8(const int8_t* fd, const double* weights, double* acc,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Lindsay 2016 depression breaching — mirrors oracle/breach.py exactly
+// (same pit definition, same cheapest-spill-first flood with backlinks,
+// same carve semantics; SURVEY.md §2.2 Lindsay2016.hpp row).
+// mode: 0=Complete 1=Selective 2=Constrained.  max_path_len < 0 or
+// max_path_depth < 0 mean "unset".  fill_remainder handled by the caller.
+int rn_breach(double* z, int64_t h, int64_t w, double no_data,
+              int has_nodata, int mode, double eps, int64_t max_path_len,
+              double max_path_depth) {
+  const int64_t n = h * w;
+  std::vector<uint8_t> nodata(n, 0), visited(n, 0), seed(n, 0), pit(n, 0);
+  std::vector<int8_t> backlink(n, 0);
+  std::vector<double> orig(z, z + n);
+  for (int64_t i = 0; i < n; ++i) {
+    nodata[i] = is_nodata(z[i], no_data, has_nodata);
+    visited[i] = nodata[i];
+  }
+  for (int64_t r = 0; r < h; ++r)
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (nodata[i]) continue;
+      bool s = (r == 0 || r == h - 1 || c == 0 || c == w - 1);
+      for (int d = 1; d <= 8 && !s; ++d) {
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr >= 0 && nr < h && nc >= 0 && nc < w && nodata[nr * w + nc])
+          s = true;
+      }
+      seed[i] = s;
+      if (!s) {
+        bool p = true;
+        for (int d = 1; d <= 8 && p; ++d) {
+          const int64_t nr = r + DY[d], nc = c + DX[d];
+          if (nr >= 0 && nr < h && nc >= 0 && nc < w &&
+              !nodata[nr * w + nc] && z[nr * w + nc] < z[i])
+            p = false;
+        }
+        pit[i] = p;
+      }
+    }
+
+  MinHeap heap;
+  int64_t k = 0;
+  for (int64_t r = 0; r < h; ++r)
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (seed[i] && !nodata[i]) {
+        heap.push({z[i], k++, (int32_t)r, (int32_t)c});
+        visited[i] = 1;
+      }
+    }
+
+  std::vector<int64_t> path_cells;
+  std::vector<double> path_targets;
+  while (!heap.empty()) {
+    Cell cell = heap.top();
+    heap.pop();
+    const int64_t ci = (int64_t)cell.r * w + cell.c;
+    if (pit[ci]) {
+      // Walk backlinks from the pit, collecting cells to lower.
+      const double level = z[ci];
+      path_cells.clear();
+      path_targets.clear();
+      int64_t r = cell.r, c = cell.c, steps = 0;
+      while (true) {
+        const int d = backlink[r * w + c];
+        if (d == 0) break;  // reached a seed
+        r += DY[d];
+        c += DX[d];
+        ++steps;
+        const double target = level - (double)steps * eps;
+        if (z[r * w + c] <= target) break;
+        path_cells.push_back(r * w + c);
+        path_targets.push_back(target);
+      }
+      bool carve = true;
+      if (mode == 1) {  // Selective
+        if (max_path_len >= 0 && (int64_t)path_cells.size() > max_path_len)
+          carve = false;
+        if (carve && max_path_depth >= 0)
+          for (size_t j = 0; j < path_cells.size(); ++j)
+            if (orig[path_cells[j]] - path_targets[j] > max_path_depth) {
+              carve = false;
+              break;
+            }
+      }
+      if (carve)
+        for (size_t j = 0; j < path_cells.size(); ++j) {
+          double target = path_targets[j];
+          if (mode == 2 && max_path_depth >= 0)
+            target = std::max(target, orig[path_cells[j]] - max_path_depth);
+          z[path_cells[j]] = std::min(z[path_cells[j]], target);
+        }
+    }
+    for (int d = 1; d <= 8; ++d) {
+      const int64_t nr = cell.r + DY[d], nc = cell.c + DX[d];
+      if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+      const int64_t ni = nr * w + nc;
+      if (visited[ni]) continue;
+      visited[ni] = 1;
+      backlink[ni] = D8_INVERSE[d];
+      heap.push({z[ni], k++, (int32_t)nr, (int32_t)nc});
+    }
+  }
+  if (has_nodata)
+    for (int64_t i = 0; i < n; ++i)
+      if (nodata[i]) z[i] = no_data;
+  return 0;
+}
+
+// Barnes-Lehman-Mulla 2014 flat resolution — mirrors oracle/flats.py
+// (same virtual-drain rule, same two BFS fields, same 2*T + (H+1-D)
+// combination, same steepest-descent-on-mask direction assignment).
+// fd is modified in place; flat_mask_out/labels_out nullable int32.
+int rn_resolve_flats(const double* z, int8_t* fd, int64_t h, int64_t w,
+                     double no_data, int has_nodata, int32_t* flat_mask_out,
+                     int32_t* labels_out) {
+  const int64_t n = h * w;
+  std::vector<uint8_t> nodata(n, 0);
+  for (int64_t i = 0; i < n; ++i)
+    nodata[i] = is_nodata(z[i], no_data, has_nodata);
+  std::vector<uint8_t> noflow(n, 0), drain(n, 0);
+  for (int64_t r = 0; r < h; ++r)
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      noflow[i] = (fd[i] == NO_FLOW) && !nodata[i];
+      bool dr = (r == 0 || r == h - 1 || c == 0 || c == w - 1);
+      for (int d = 1; d <= 8 && !dr; ++d) {
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr >= 0 && nr < h && nc >= 0 && nc < w && nodata[nr * w + nc])
+          dr = true;
+      }
+      drain[i] = dr && noflow[i];
+    }
+
+  // Label flats: flood equal-elevation regions from NO_FLOW cells.
+  std::vector<int32_t> labels(n, 0);
+  int32_t next_label = 1;
+  std::vector<int64_t> bfs;
+  for (int64_t i0 = 0; i0 < n; ++i0) {
+    if (!noflow[i0] || labels[i0]) continue;
+    const double elev = z[i0];
+    labels[i0] = next_label;
+    bfs.clear();
+    bfs.push_back(i0);
+    size_t head = 0;
+    while (head < bfs.size()) {
+      const int64_t i = bfs[head++];
+      const int64_t r = i / w, c = i % w;
+      for (int d = 1; d <= 8; ++d) {
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+        const int64_t ni = nr * w + nc;
+        if (labels[ni] == 0 && !nodata[ni] && z[ni] == elev) {
+          labels[ni] = next_label;
+          bfs.push_back(ni);
+        }
+      }
+    }
+    ++next_label;
+  }
+
+  // Seeds: outlets (T=0) and high edges (D=1).
+  std::vector<int32_t> towards(n, 0), away(n, 0);
+  std::vector<uint8_t> visited_t(n, 0), visited_a(n, 0);
+  std::vector<uint8_t> drainable(next_label, 0);
+  std::vector<int64_t> tq, aq;
+  for (int64_t r = 0; r < h; ++r)
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (labels[i] == 0) continue;
+      if (!noflow[i] || drain[i]) {
+        tq.push_back(i);
+        visited_t[i] = 1;
+        drainable[labels[i]] = 1;
+        if (!noflow[i]) continue;
+      }
+      for (int d = 1; d <= 8; ++d) {
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+        const int64_t ni = nr * w + nc;
+        if (!nodata[ni] && z[ni] > z[i]) {
+          away[i] = 1;
+          visited_a[i] = 1;
+          aq.push_back(i);
+          break;
+        }
+      }
+    }
+
+  // BFS towards lower (among NO_FLOW same-label cells).
+  size_t head = 0;
+  while (head < tq.size()) {
+    const int64_t i = tq[head++];
+    const int64_t r = i / w, c = i % w;
+    for (int d = 1; d <= 8; ++d) {
+      const int64_t nr = r + DY[d], nc = c + DX[d];
+      if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+      const int64_t ni = nr * w + nc;
+      if (noflow[ni] && labels[ni] == labels[i] && !visited_t[ni]) {
+        visited_t[ni] = 1;
+        towards[ni] = towards[i] + 1;
+        tq.push_back(ni);
+      }
+    }
+  }
+  // BFS away from higher.
+  head = 0;
+  while (head < aq.size()) {
+    const int64_t i = aq[head++];
+    const int64_t r = i / w, c = i % w;
+    for (int d = 1; d <= 8; ++d) {
+      const int64_t nr = r + DY[d], nc = c + DX[d];
+      if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+      const int64_t ni = nr * w + nc;
+      if (noflow[ni] && labels[ni] == labels[i] && !visited_a[ni]) {
+        visited_a[ni] = 1;
+        away[ni] = away[i] + 1;
+        aq.push_back(ni);
+      }
+    }
+  }
+
+  std::vector<int32_t> flat_height(next_label, 0);
+  for (int64_t i = 0; i < n; ++i)
+    if (labels[i] > 0)
+      flat_height[labels[i]] = std::max(flat_height[labels[i]], away[i]);
+
+  std::vector<int32_t> mask(n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    if (!noflow[i] || drain[i] || labels[i] == 0) continue;
+    if (!drainable[labels[i]] || !visited_t[i]) continue;
+    int32_t m = 2 * towards[i];
+    if (away[i] > 0) m += flat_height[labels[i]] + 1 - away[i];
+    mask[i] = m;
+  }
+
+  // Steepest descent on the mask among same-flat neighbors.
+  for (int64_t r = 0; r < h; ++r)
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (mask[i] == 0 || fd[i] != NO_FLOW) continue;
+      int best_d = NO_FLOW;
+      double best_s = 0.0;
+      for (int d = 1; d <= 8; ++d) {
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+        const int64_t ni = nr * w + nc;
+        if (labels[ni] != labels[i]) continue;
+        const double s = (double)(mask[i] - mask[ni]) / DR[d];
+        if (s > best_s) {
+          best_s = s;
+          best_d = d;
+        }
+      }
+      fd[i] = (int8_t)best_d;
+    }
+
+  if (flat_mask_out) std::memcpy(flat_mask_out, mask.data(), n * 4);
+  if (labels_out) std::memcpy(labels_out, labels.data(), n * 4);
+  return 0;
+}
+
+}  // extern "C"

@@ -264,7 +264,13 @@ def _d8_gs_impl(flowdirs, weights, max_rotations=64):
 def d8_accumulation(flowdirs, weights=None, no_data_mask=None,
                     max_rotations=64):
     """Exact D8 accumulation via Gauss–Seidel directional line sweeps —
-    the TPU fast path (see block comment above)."""
+    the TPU fast path (see block comment above).  On TPU the sweeps run
+    as Pallas strip kernels (``ops.pallas_sweeps``)."""
+    if jax.default_backend() == "tpu":
+        from richdem_tpu.ops.pallas_sweeps import d8_accumulation_gs
+        return d8_accumulation_gs(flowdirs, weights=weights,
+                                  no_data_mask=no_data_mask,
+                                  max_rotations=max_rotations)
     fd = jnp.asarray(flowdirs)
     h, wdt = fd.shape
     if weights is None:

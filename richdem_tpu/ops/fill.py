@@ -77,9 +77,18 @@ def fill_depressions(dem, no_data=None, eps=0.0, max_iters=1024,
     """Plain (or epsilon) depression fill; returns the filled raster.
 
     Device counterpart of ``oracle.priority_flood_fill`` /
-    ``oracle.priority_flood_epsilon``."""
+    ``oracle.priority_flood_epsilon``.  On TPU this rides the Pallas
+    Gauss–Seidel sweep kernel (same fixpoint; the XLA scan engine's
+    compile time blows up with grid size on the TPU toolchain)."""
     z = jnp.asarray(dem)
     mask = nodata_like(z, no_data)
+    if jax.default_backend() == "tpu":
+        from richdem_tpu.ops.pallas_sweeps import fill_fixpoint_pallas
+        eps_diag = eps * float(np.sqrt(2.0)) if scale_diagonal else None
+        filled, _, _ = fill_fixpoint_pallas(z, mask, eps=eps,
+                                            eps_diag=eps_diag,
+                                            max_iters=max_iters)
+        return filled.astype(z.dtype)
     filled, _, _ = fill_depressions_info(z, mask, eps=eps,
                                          max_iters=max_iters,
                                          scale_diagonal=scale_diagonal)

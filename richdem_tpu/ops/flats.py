@@ -119,12 +119,83 @@ def _resolve_impl(z, fd, nodata_mask, max_iters):
     return resolved, mask.astype(jnp.int32), in_flat
 
 
+@partial(jax.jit, static_argnames=("max_iters",))
+def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
+    """TPU variant: the four BFS fixpoints run as Pallas masked-distance
+    sweeps (``ops.pallas_sweeps.dist_fixpoint_pallas``); seed/combine
+    logic stays XLA.  Same outputs as :func:`_resolve_impl`."""
+    from richdem_tpu.ops.pallas_sweeps import (_F_DATA, _F_INFLAT,
+                                               _F_NOFLOW, _dist_context,
+                                               dist_fixpoint_pallas)
+
+    zbig = jnp.float32(3.0e37)
+    zf = z.astype(jnp.float32)
+    data = ~nodata_mask
+    noflow = (fd == NO_FLOW) & data
+    zed = jnp.where(nodata_mask, zbig, zf)
+
+    state0 = (data * _F_DATA + noflow * _F_NOFLOW).astype(jnp.int32)
+    ctx0 = _dist_context(zed, state0)
+    reach = dist_fixpoint_pallas(
+        jnp.where(noflow, 0.0, BIG), ctx0, "member", 1.0, max_iters)
+    in_flat = reach < _UNREACHED
+
+    state = state0 | (in_flat * _F_INFLAT).astype(jnp.int32)
+    ctx = _dist_context(zed, state)
+
+    def nb_mask(m):
+        return jnp.stack([neighbor(m, d, False) for d in range(1, 9)])
+
+    h, w = z.shape
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    on_border = (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
+    near_nodata = jnp.any(nb_mask(nodata_mask), axis=0)
+    drain = noflow & (on_border | near_nodata)
+
+    outlet = in_flat & (~noflow | drain)
+    T = dist_fixpoint_pallas(jnp.where(outlet, 0.0, BIG), ctx, "towards",
+                             1.0, max_iters)
+
+    z_nb = [neighbor(zed, d, jnp.nan) for d in range(1, 9)]
+    nb_higher = jnp.stack([(zb > zed) & (zb < zbig) for zb in z_nb])
+    high_seed = noflow & in_flat & jnp.any(nb_higher, axis=0)
+    D = dist_fixpoint_pallas(jnp.where(high_seed, 1.0, BIG), ctx, "away",
+                             1.0, max_iters)
+
+    d_finite = jnp.where(D < _UNREACHED, D, 0.0)
+    neg_max = dist_fixpoint_pallas(jnp.where(in_flat, -d_finite, BIG),
+                                   ctx, "maxd", 0.0, max_iters)
+    maxD = -neg_max
+
+    away_term = jnp.where(D < _UNREACHED, maxD + 1.0 - D, 0.0)
+    drained = noflow & ~drain & in_flat & (T < _UNREACHED)
+    mask = jnp.where(drained, 2.0 * T + away_term, 0.0)
+
+    nb_in_flat = nb_mask(in_flat)
+    z_eq = jnp.stack([(zed == zb) & (zb < zbig) for zb in z_nb])
+    inv_dr = jnp.asarray(1.0 / DR[1:9], mask.dtype)[:, None, None]
+    nb_mask_vals = jnp.stack([neighbor(mask, d, BIG) for d in range(1, 9)])
+    slopes = jnp.where(z_eq & nb_in_flat,
+                       (mask[None] - nb_mask_vals) * inv_dr, -BIG)
+    k = jnp.argmax(slopes, axis=0)
+    best = jnp.max(slopes, axis=0)
+    new_dir = jnp.where(best > 0, (k + 1).astype(fd.dtype),
+                        jnp.asarray(NO_FLOW, fd.dtype))
+    resolved = jnp.where(drained & (fd == NO_FLOW), new_dir, fd)
+    return resolved, mask.astype(jnp.int32), in_flat
+
+
+def _impl():
+    return (_resolve_impl_pallas if jax.default_backend() == "tpu"
+            else _resolve_impl)
+
+
 def resolve_flats(dem, flowdirs, no_data=None, max_iters=256):
     """Return flow directions with flats drained (device op)."""
     z = jnp.asarray(dem)
     fd = jnp.asarray(flowdirs)
-    resolved, _, _ = _resolve_impl(z, fd, nodata_like(z, no_data),
-                                   max_iters)
+    resolved, _, _ = _impl()(z, fd, nodata_like(z, no_data), max_iters)
     return resolved
 
 
@@ -133,6 +204,5 @@ def flat_mask_and_labels_device(dem, flowdirs, no_data=None, max_iters=256):
     mask is already per-flat consistent)."""
     z = jnp.asarray(dem)
     fd = jnp.asarray(flowdirs)
-    _, mask, in_flat = _resolve_impl(z, fd, nodata_like(z, no_data),
-                                     max_iters)
+    _, mask, in_flat = _impl()(z, fd, nodata_like(z, no_data), max_iters)
     return mask, in_flat

@@ -70,7 +70,12 @@ _d8_flowdirs_impl = partial(jax.jit, static_argnames=("topology",))(d8_core)
 
 def d8_flowdirs(dem, no_data=None, topology="D8", cellsize=1.0):
     """Steepest-descent single flow directions (O'Callaghan & Marks 1984;
-    reference ``flowmet/d8_flowdirs.hpp``)."""
+    reference ``flowmet/d8_flowdirs.hpp``).  Pallas single-pass kernel on
+    TPU; XLA shifted-array stencil elsewhere (identical output)."""
+    if jax.default_backend() == "tpu":
+        from richdem_tpu.ops.pallas_stencils import d8_flowdirs_pallas
+        return d8_flowdirs_pallas(dem, no_data=no_data, topology=topology,
+                                  cellsize=cellsize)
     z = jnp.asarray(dem)
     return _d8_flowdirs_impl(z, nodata_like(z, no_data),
                              jnp.asarray(cellsize, jnp.float32), topology)

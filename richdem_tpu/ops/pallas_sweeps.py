@@ -342,3 +342,154 @@ def d8_accumulation_gs(flowdirs, weights=None, no_data_mask=None,
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Masked unit-cost distance transforms (flat resolution's BFS fields)
+# ---------------------------------------------------------------------------
+#
+# The flat-resolution fixpoints (ops/flats.py, appendix A.3) are unit-cost
+# shortest-path problems restricted to edges between equal-elevation cells
+# with particular per-cell flags.  Instead of materializing (8, H, W) cost
+# planes (the XLA engine's approach — 8 full rasters of traffic per sweep),
+# the kernel recomputes edge admissibility in-flight from two compact
+# per-cell rasters: the elevation (nodata → +ZBIG sentinel) and an int32
+# flag bitmask.  Modes (matching oracle/flats.py BFS edge rules):
+#
+#   MEMBER  : z_c == z_n and data(c) and data(n)             step 1
+#   TOWARDS : z_eq and noflow&in_flat(c) and in_flat(n)      step 1
+#   AWAY    : z_eq and noflow&in_flat(c) and noflow&in_flat(n)  step 1
+#   MAXD    : z_eq and in_flat(c) and in_flat(n)             step 0
+#             (min-plus on -D: per-flat max propagation)
+
+_F_DATA, _F_NOFLOW, _F_INFLAT = 1, 2, 4
+_DIST_MODES = ("member", "towards", "away", "maxd")
+
+
+def _allowed(mode, z, zn, s, sn):
+    """Edge admissibility n→c per mode (z/s = cell, zn/sn = neighbor)."""
+    z_eq = (z == zn) & (z < jnp.float32(2.9e37)) & (zn < jnp.float32(2.9e37))
+    if mode == "member":
+        return z_eq & ((s & _F_DATA) > 0) & ((sn & _F_DATA) > 0)
+    nf_in = _F_NOFLOW | _F_INFLAT
+    if mode == "towards":
+        return z_eq & ((s & nf_in) == nf_in) & ((sn & _F_INFLAT) > 0)
+    if mode == "away":
+        return z_eq & ((s & nf_in) == nf_in) & ((sn & nf_in) == nf_in)
+    if mode == "maxd":
+        return z_eq & ((s & _F_INFLAT) > 0) & ((sn & _F_INFLAT) > 0)
+    raise ValueError(mode)
+
+
+def _dist_down_kernel(w_ref, z_ref, zu_ref, s_ref, su_ref, out_ref, carry,
+                      *, bh, mode, step):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.full(carry.shape, BIG, carry.dtype)  # no off-grid
+
+    big = jnp.float32(BIG)
+    zbig = jnp.float32(3.0e37)
+    stepf = jnp.float32(step)
+
+    def row_body(r, prev):
+        sl = (pl.ds(r, 1), slice(None))
+        wr = w_ref[sl]
+        z = z_ref[sl]
+        zu = zu_ref[sl]
+        s = s_ref[sl]
+        su = su_ref[sl]
+        cand = jnp.where(_allowed(mode, z, zu, s, su), prev + stepf, big)
+        a_nw = _allowed(mode, z, _shift_east(zu, zbig), s,
+                        _shift_east(su, 0))
+        cand = jnp.minimum(cand, jnp.where(
+            a_nw, _shift_east(prev, big) + stepf, big))
+        a_ne = _allowed(mode, z, _shift_west(zu, zbig), s,
+                        _shift_west(su, 0))
+        cand = jnp.minimum(cand, jnp.where(
+            a_ne, _shift_west(prev, big) + stepf, big))
+        new = jnp.minimum(wr, cand)
+        out_ref[sl] = new
+        return new
+
+    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
+
+
+def _dist_sweep_down(w, z, zu, s, su, mode, step):
+    h, wd = w.shape
+    bh = _strip_height(wd, n_bufs=6)
+    assert h % bh == 0, (h, bh)
+
+    def blk():
+        return pl.BlockSpec((bh, wd), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_dist_down_kernel, bh=bh, mode=mode, step=step),
+        out_shape=jax.ShapeDtypeStruct((h, wd), jnp.float32),
+        grid=(h // bh,),
+        in_specs=[blk() for _ in range(5)],
+        out_specs=blk(),
+        scratch_shapes=[pltpu.VMEM((1, wd), jnp.float32)],
+    )(w, z, zu, s, su)
+
+
+def _shift_rows_down(x, fill):
+    """x[r-1] at row r (previous row), `fill` row at the top."""
+    top = jnp.full((1, x.shape[1]), fill, x.dtype)
+    return jnp.concatenate([top, x[:-1]], axis=0)
+
+
+def _dist_rotation(w, ctx, mode, step):
+    """Down/up/right/left masked-distance GS rotation."""
+    z, zu, zd, s, su, sd, zt, ztu, ztd, st, stu, std = ctx
+    w = _dist_sweep_down(w, z, zu, s, su, mode, step)
+    w = jnp.flipud(_dist_sweep_down(jnp.flipud(w), jnp.flipud(z),
+                                    jnp.flipud(zd), jnp.flipud(s),
+                                    jnp.flipud(sd), mode, step))
+    wt = _dist_sweep_down(w.T, zt, ztu, st, stu, mode, step)
+    wt = jnp.flipud(_dist_sweep_down(jnp.flipud(wt), jnp.flipud(zt),
+                                     jnp.flipud(ztd), jnp.flipud(st),
+                                     jnp.flipud(std), mode, step))
+    return wt.T
+
+
+def _dist_context(zed, state):
+    """Precompute padded/shifted/transposed elevation+flag rasters shared
+    by every distance fixpoint of one resolve-flats call."""
+    zbig = 3.0e37
+    z = _pad_to(jnp.asarray(zed, jnp.float32), zbig)
+    s = _pad_to(jnp.asarray(state, jnp.int32), 0)
+    zt, st = z.T, s.T
+    return (z, _shift_rows_down(z, zbig),
+            jnp.concatenate([z[1:], jnp.full((1, z.shape[1]), zbig,
+                                             z.dtype)], axis=0),
+            s, _shift_rows_down(s, 0),
+            jnp.concatenate([s[1:], jnp.zeros((1, s.shape[1]),
+                                              s.dtype)], axis=0),
+            zt, _shift_rows_down(zt, zbig),
+            jnp.concatenate([zt[1:], jnp.full((1, zt.shape[1]), zbig,
+                                              zt.dtype)], axis=0),
+            st, _shift_rows_down(st, 0),
+            jnp.concatenate([st[1:], jnp.zeros((1, st.shape[1]),
+                                               st.dtype)], axis=0))
+
+
+def dist_fixpoint_pallas(w0, ctx, mode, step=1.0, max_iters=256):
+    """Iterate masked-distance rotations to convergence (monotone min)."""
+    h, wd = w0.shape
+    w_p = _pad_to(jnp.asarray(w0, jnp.float32), BIG)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(state):
+        w, it, _ = state
+        new = _dist_rotation(w, ctx, mode, step)
+        return new, it + 1, jnp.all(new == w)
+
+    done0 = jnp.any(w_p != w_p)
+    w, _, _ = jax.lax.while_loop(cond, body, (w_p, jnp.int32(0), done0))
+    return w[:h, :wd]

@@ -113,3 +113,40 @@ def test_accum_cycle_raises():
     fd[1, 2] = 1  # -> (1,1): 2-cycle
     with pytest.raises(ValueError, match="cycle"):
         native.accum_d8(fd)
+
+
+def test_breach_matches_oracle():
+    from richdem_tpu.oracle.breach import breach_depressions as ob
+    dem = _fixtures()["depressions"]
+    for mode, kw in [("Complete", {}),
+                     ("Selective", dict(max_path_len=6)),
+                     ("Constrained", dict(max_path_depth=2.0))]:
+        got = native.breach_depressions(dem, mode=mode, eps=1e-3, **kw)
+        want = ob(dem, mode=mode, eps=1e-3, **kw)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_breach_nodata_matches_oracle():
+    from richdem_tpu.oracle.breach import breach_depressions as ob
+    dem = _fixtures()["holes"]
+    got = native.breach_depressions(dem, no_data=-9999.0, eps=1e-3,
+                                    fill_remainder=True)
+    want = ob(dem, no_data=-9999.0, eps=1e-3, fill_remainder=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_resolve_flats_matches_oracle():
+    from richdem_tpu.oracle.flats import (resolve_flats as orf,
+                                          flat_mask_and_labels as oml)
+    dem = _fixtures()["plateau"]
+    filled = oracle.priority_flood_fill(dem, dtype=np.float64)
+    fd = oracle.d8_flowdirs(filled)
+    got = native.resolve_flats(filled, fd)
+    want = orf(filled, fd)
+    np.testing.assert_array_equal(got, want)
+    gm, gl = native.flat_mask_and_labels(filled, fd)
+    wm, wl = oml(filled, fd)
+    np.testing.assert_array_equal(gm, wm)
+    # labels may be numbered differently only if discovery order differs;
+    # both scan row-major, so require exact equality.
+    np.testing.assert_array_equal(gl, wl)

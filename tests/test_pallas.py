@@ -125,3 +125,17 @@ def test_pipeline_dispatch_cpu_matches_pallas_semantics():
     np.testing.assert_allclose(np.asarray(out["filled"], np.float64),
                                want, rtol=0, atol=1e-5)
     assert float(np.asarray(out["accum"]).sum()) > 0
+
+
+def test_resolve_flats_matches_oracle():
+    from richdem_tpu.ops import flats as F
+    dem = synth.plateau_dem(72, dtype=np.float32)
+    z64 = dem.astype(np.float64)
+    fd = oracle.d8_flowdirs(z64)
+    want = oracle.resolve_flats(z64, fd)
+    # exercise the Pallas implementation explicitly (on CPU it runs under
+    # the interpret-mode fixture)
+    got, _, _ = F._resolve_impl_pallas(
+        np.asarray(dem), np.asarray(fd),
+        np.zeros(dem.shape, bool), 256)
+    np.testing.assert_array_equal(np.asarray(got), want)
