@@ -80,7 +80,14 @@ def flow_accumulation_from_props(props, weights=None, no_data_mask=None,
     """Weighted upstream accumulation from (H, W, 8) proportions.
 
     Nodata cells must already have zero proportions (they do, from
-    :mod:`richdem_tpu.ops.flowdirs`); the mask only zeroes their output."""
+    :mod:`richdem_tpu.ops.flowdirs`); the mask only zeroes their output.
+    On TPU this runs the Pallas GS line sweeps (converges in a few
+    rotations; the Jacobi fixpoint here needs one iteration per flow-path
+    step, O(grid size) on river networks)."""
+    if jax.default_backend() == "tpu":
+        from richdem_tpu.ops.pallas_mfd import mfd_accumulation_gs
+        return mfd_accumulation_gs(props, weights=weights,
+                                   no_data_mask=no_data_mask)
     acc, _, _ = accumulation_jacobi_info(props, weights,
                                          max_iters=max_iters)
     if no_data_mask is not None:

@@ -139,3 +139,18 @@ def test_resolve_flats_matches_oracle():
         np.asarray(dem), np.asarray(fd),
         np.zeros(dem.shape, bool), 256)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("method,kw", [
+    ("Quinn", {}), ("Dinf", {}), ("Freeman", {}),
+    ("Holmgren", {"exponent": 2.0}), ("SeibertMcGlynn", {"exponent": 1.0}),
+])
+def test_mfd_accumulation_matches_oracle(method, kw):
+    from richdem_tpu.ops.pallas_mfd import mfd_accumulation_gs
+    dem = synth.perlin_dem(64, seed=4, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    props = oracle.flow_proportions(filled, method=method, **kw)
+    want = oracle.flow_accumulation_from_props(props)
+    got = np.asarray(mfd_accumulation_gs(np.asarray(props, np.float32)),
+                     np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
