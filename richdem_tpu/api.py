@@ -181,6 +181,16 @@ def FlowDirections(dem, method="D8", exponent=None, seed=0):
     elif m in ("dinf", "tarboton"):
         out = ops.dinf_flowdirs(z, no_data=rd.no_data,
                                 cellsize=rd.cellsize)
+    elif m in ("orlandini", "d8ltd", "d8lad"):
+        # Path-sequential by construction (deviation state rides the flow
+        # path) — a host op here, exactly as it is serial C++ in the
+        # reference (SURVEY.md §2.2 Orlandini row).
+        from richdem_tpu.oracle.orlandini import orlandini_flowdirs
+        out = orlandini_flowdirs(
+            rd.np(), no_data=rd.no_data,
+            lam=1.0 if exponent is None else float(exponent),
+            mode="LAD" if m == "d8lad" else "LTD",
+            cellsize=rd.cellsize)
     else:
         raise ValueError(f"unknown flow-direction method {method!r}")
     res = _result(rd, out, f"FlowDirections(dem, method={method!r})")

@@ -28,7 +28,7 @@ from richdem_tpu.methods import twi as _twi
 
 import numpy as np
 
-__all__ = ["terrain_pipeline", "make_pipeline"]
+__all__ = ["terrain_pipeline", "make_pipeline", "resumable_pipeline"]
 
 
 def _use_pallas() -> bool:
@@ -99,3 +99,41 @@ def terrain_pipeline(dem, eps=1e-3, cellsize=1.0, fill_iters=256,
     z = jnp.asarray(dem)
     return make_pipeline(z.shape, eps, cellsize, fill_iters,
                          with_twi)(z)
+
+
+def resumable_pipeline(dem, cache_dir, grid_id="grid", eps=1e-3,
+                       cellsize=1.0, with_twi=True, no_data=None):
+    """fill → flowdirs → accum (→ slope/TWI) with phase-granular
+    checkpoint/resume (SURVEY.md §5.3/5.4: the reference's --cache-dir
+    tile eviction recast as .npy phase dumps).  A rerun after a crash
+    loads finished phases from ``cache_dir`` and computes only the rest.
+    """
+    import numpy as np
+
+    from richdem_tpu import ops
+    from richdem_tpu.checkpoint import PhaseCache
+    from richdem_tpu.ops.stencil import nodata_like
+
+    cache = PhaseCache(cache_dir, grid_id)
+    z = jnp.asarray(np.asarray(dem))
+    nd_mask = nodata_like(z, no_data)
+
+    filled = cache.run(
+        "filled", lambda: ops.fill_depressions(z, no_data=no_data, eps=eps))
+    fd = cache.run(
+        "flowdirs", lambda: ops.flowdirs.d8_flowdirs(
+            jnp.asarray(filled), no_data=no_data, cellsize=cellsize))
+    acc = cache.run(
+        "accum", lambda: ops.d8_accumulation(
+            jnp.asarray(fd), no_data_mask=nd_mask))
+    out = {"filled": filled, "flowdirs": fd, "accum": acc}
+    if with_twi:
+        slope = cache.run(
+            "slope", lambda: terrain_core(
+                jnp.asarray(filled), nd_mask, jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(cellsize, jnp.float32), "slope_radians"))
+        out["slope"] = slope
+        out["twi"] = cache.run(
+            "twi", lambda: _twi(jnp.asarray(acc), jnp.asarray(slope),
+                                cellsize=cellsize))
+    return out

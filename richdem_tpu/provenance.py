@@ -76,6 +76,11 @@ CITATIONS = {
     "twi": ("Beven, Kirkby (1979). A physically based, variable "
             "contributing area model of basin hydrology. Hydrological "
             "Sciences Bulletin 24(1), 43-69."),
+    "orlandini": ("Orlandini, Moretti, Franchini, Aldighieri, Testa "
+                  "(2003). Path-based methods for the determination of "
+                  "nondispersive drainage directions in grid-based "
+                  "digital elevation models. Water Resources Research "
+                  "39(6), 1144. doi:10.1029/2002WR001639"),
 }
 
 _METHOD_CITATIONS = {
@@ -84,6 +89,7 @@ _METHOD_CITATIONS = {
     "dinf": "dinf", "tarboton": "dinf",
     "freeman": "freeman", "quinn": "quinn", "holmgren": "holmgren",
     "seibertmcglynn": "seibert_mcglynn", "mdinf": "seibert_mcglynn",
+    "orlandini": "orlandini", "d8ltd": "orlandini", "d8lad": "orlandini",
 }
 
 
