@@ -150,17 +150,25 @@ def minplus_rotation(w, floor, eps2):
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "check_every"))
 def fill_fixpoint_pallas(z, nodata_mask=None, eps=0.0, eps_diag=None,
-                         max_iters=256, check_every=1):
+                         max_iters=256, check_every=1, w0=None):
     """Depression fill via Pallas GS rotations; returns
     ``(filled, iters, converged)``.  Same fixpoint (and output) as
-    :func:`richdem_tpu.ops.fill.fill_depressions_info`."""
+    :func:`richdem_tpu.ops.fill.fill_depressions_info`.
+
+    ``w0``: optional warm-start / Dirichlet state.  Cells where
+    ``w0 == floor`` stay clamped (the sweep is monotone decreasing and
+    bounded below by the floor) — the block-Schwarz sharded fill uses
+    this to pin its halo ring to the incoming neighbor values."""
     z32 = jnp.asarray(z, jnp.float32)
     h, wd = z32.shape
     if nodata_mask is None:
         nodata_mask = jnp.zeros(z32.shape, bool)
     neg = jnp.float32(-BIG)
     floor = jnp.where(nodata_mask, neg, z32)
-    w0 = jnp.where(nodata_mask, neg, jnp.float32(BIG))
+    if w0 is None:
+        w0 = jnp.where(nodata_mask, neg, jnp.float32(BIG))
+    else:
+        w0 = jnp.where(nodata_mask, neg, jnp.asarray(w0, jnp.float32))
 
     floor_p = _pad_to(floor, -BIG)  # pad cells drain: isolates interior
     w_p = _pad_to(w0, -BIG)
