@@ -117,3 +117,140 @@ def d8_flowdirs_pallas(dem, no_data=None, topology="D8", cellsize=1.0):
     z = jnp.asarray(dem)
     mask = nodata_like(z, no_data)
     return _d8_impl(z, mask, cellsize, topology == "D4")
+
+
+# ---------------------------------------------------------------------------
+# Terrain attributes (Horn 1981 / Zevenbergen-Thorne 1987), fused
+# ---------------------------------------------------------------------------
+
+def _terrain_kernel(sc_ref, z_ref, zu_ref, zd_ref, m_ref, mu_ref, md_ref,
+                    out_ref, *, attrib):
+    """Single-pass fused 3×3 attribute — mirrors ops.terrain.terrain_core
+    exactly (same window-degradation rule: invalid neighbors read the
+    center value)."""
+    zscale = sc_ref[0]
+    L = sc_ref[1]
+    z = z_ref[...] * zscale
+    zu = zu_ref[...] * zscale
+    zd = zd_ref[...] * zscale
+    m = m_ref[...]
+    mu = mu_ref[...]
+    md = md_ref[...]
+    one = jnp.int32(1)
+
+    def pick(vals, valid):
+        return jnp.where(valid > 0, vals, z)
+
+    # window letters row-major a..i (a=NW, e=center, i=SE); off-grid or
+    # nodata neighbors degrade to the center elevation.
+    a = pick(_shift_east(zu, 0.0), _shift_east(mu, 0))
+    b = pick(zu, mu)
+    c = pick(_shift_west(zu, 0.0), _shift_west(mu, 0))
+    d = pick(_shift_east(z, 0.0), _shift_east(m, 0))
+    e = z
+    f = pick(_shift_west(z, 0.0), _shift_west(m, 0))
+    g = pick(_shift_east(zd, 0.0), _shift_east(md, 0))
+    h = pick(zd, md)
+    i = pick(_shift_west(zd, 0.0), _shift_west(md, 0))
+
+    fx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * L)
+    fy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * L)
+
+    # Transcendentals (atan/atan2) are not lowerable in Mosaic; those
+    # attribute variants emit raw fields finished by one fused XLA map
+    # in the caller.
+    if attrib == "riserun_raw":
+        out = jnp.sqrt(fx * fx + fy * fy)
+    elif attrib == "fx_raw":
+        out = fx
+    elif attrib == "fy_raw":
+        out = fy
+    else:
+        D = ((d + f) / 2.0 - e) / (L * L)
+        E = ((b + h) / 2.0 - e) / (L * L)
+        F = (-a + c + g - i) / (4.0 * L * L)
+        G = (-d + f) / (2.0 * L)
+        H = (b - h) / (2.0 * L)
+        g2h2 = G * G + H * H
+        if attrib == "curvature":
+            out = -2.0 * (D + E) * 100.0
+        elif attrib == "planform_curvature":
+            out = jnp.where(
+                g2h2 == 0.0, 0.0,
+                2.0 * (D * H * H + E * G * G - F * G * H)
+                / jnp.maximum(g2h2, 1e-30) * 100.0)
+        else:  # profile_curvature
+            out = jnp.where(
+                g2h2 == 0.0, 0.0,
+                -2.0 * (D * G * G + E * H * H + F * G * H)
+                / jnp.maximum(g2h2, 1e-30) * 100.0)
+    out_ref[...] = jnp.where(m > 0, out, jnp.float32(jnp.nan))
+
+
+@functools.partial(jax.jit, static_argnames=("attrib",))
+def _terrain_pallas_impl(z, nodata_mask, zscale, cellsize, attrib):
+    zf = jnp.asarray(z, jnp.float32)
+    h, wd = zf.shape
+    zed = _pad_to(zf, 0.0)
+    valid = _pad_to((~nodata_mask).astype(jnp.int32), 0)
+    hp, wp = zed.shape
+    zrow = jnp.zeros((1, wp), jnp.float32)
+    vrow = jnp.zeros((1, wp), jnp.int32)
+    z_up = jnp.concatenate([zrow, zed[:-1]], axis=0)
+    z_dn = jnp.concatenate([zed[1:], zrow], axis=0)
+    v_up = jnp.concatenate([vrow, valid[:-1]], axis=0)
+    v_dn = jnp.concatenate([valid[1:], vrow], axis=0)
+    sc = jnp.stack([jnp.asarray(zscale, jnp.float32),
+                    jnp.asarray(cellsize, jnp.float32)])
+
+    bh = _strip_height(wp, n_bufs=7)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hp // bh,),
+        in_specs=[pl.BlockSpec((bh, wp), lambda i, sc: (i, 0),
+                               memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((bh, wp), lambda i, sc: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_terrain_kernel, attrib=attrib),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        grid_spec=grid_spec,
+    )(sc, zed, z_up, z_dn, valid, v_up, v_dn)
+    return out[:h, :wd]
+
+
+@functools.partial(jax.jit, static_argnames=("attrib",))
+def _terrain_finish(z, mask, zscale, cellsize, attrib):
+    if attrib in ("curvature", "planform_curvature", "profile_curvature"):
+        return _terrain_pallas_impl(z, mask, zscale, cellsize, attrib)
+    if attrib == "aspect":
+        fx = _terrain_pallas_impl(z, mask, zscale, cellsize, "fx_raw")
+        fy = _terrain_pallas_impl(z, mask, zscale, cellsize, "fy_raw")
+        flat = (fx == 0) & (fy == 0)
+        out = jnp.where(flat, -1.0,
+                        jnp.degrees(jnp.arctan2(-fx, fy)) % 360.0)
+        return jnp.where(mask, jnp.nan, out)
+    rr = _terrain_pallas_impl(z, mask, zscale, cellsize, "riserun_raw")
+    if attrib == "slope_riserun":
+        return rr
+    if attrib == "slope_percentage":
+        return 100.0 * rr
+    if attrib == "slope_radians":
+        return jnp.arctan(rr)
+    return jnp.degrees(jnp.arctan(rr))  # slope_degrees
+
+
+def terrain_attribute_pallas(dem, attrib, zscale=1.0, cellsize=1.0,
+                             no_data=None):
+    """Fused single-pass terrain attribute (TPU fast path); identical
+    output to :func:`richdem_tpu.ops.terrain.terrain_attribute`."""
+    from richdem_tpu.ops.stencil import nodata_like
+    from richdem_tpu.oracle.terrain import TERRAIN_ATTRIBUTES
+
+    if attrib not in TERRAIN_ATTRIBUTES:
+        raise ValueError(f"unknown terrain attribute {attrib!r}")
+    z = jnp.asarray(dem)
+    return _terrain_finish(z, nodata_like(z, no_data),
+                           jnp.asarray(zscale, jnp.float32),
+                           jnp.asarray(cellsize, jnp.float32), attrib)

@@ -85,10 +85,16 @@ _terrain_impl = partial(jax.jit, static_argnames=("attrib",))(terrain_core)
 
 
 def terrain_attribute(dem, attrib, zscale=1.0, cellsize=1.0, no_data=None):
-    """One attribute of :data:`TERRAIN_ATTRIBUTES`; nodata cells → nan."""
+    """One attribute of :data:`TERRAIN_ATTRIBUTES`; nodata cells → nan.
+
+    On TPU this runs the fused single-pass Pallas kernel."""
     if attrib not in TERRAIN_ATTRIBUTES:
         raise ValueError(f"unknown terrain attribute {attrib!r}; "
                          f"expected one of {TERRAIN_ATTRIBUTES}")
+    if jax.default_backend() == "tpu":
+        from richdem_tpu.ops.pallas_stencils import terrain_attribute_pallas
+        return terrain_attribute_pallas(dem, attrib, zscale=zscale,
+                                        cellsize=cellsize, no_data=no_data)
     z = jnp.asarray(dem)
     return _terrain_impl(z, nodata_like(z, no_data),
                          jnp.asarray(zscale, jnp.float32),

@@ -154,3 +154,28 @@ def test_mfd_accumulation_matches_oracle(method, kw):
     got = np.asarray(mfd_accumulation_gs(np.asarray(props, np.float32)),
                      np.float64)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("attrib", [
+    "slope_riserun", "slope_percentage", "slope_radians", "slope_degrees",
+    "aspect", "curvature", "planform_curvature", "profile_curvature"])
+def test_terrain_pallas_matches_oracle(attrib):
+    from richdem_tpu.ops.pallas_stencils import terrain_attribute_pallas
+    dem = synth.perlin_dem(72, seed=2, dtype=np.float32)
+    got = np.asarray(terrain_attribute_pallas(dem, attrib, zscale=2.0,
+                                              cellsize=3.0), np.float64)
+    from richdem_tpu.oracle.terrain import terrain_attribute as ota
+    want = ota(dem.astype(np.float64), attrib, zscale=2.0, cellsize=3.0)
+    tol = 0.1 if attrib == "aspect" else 2e-3  # angle is ill-conditioned
+    np.testing.assert_allclose(got, want, rtol=0, atol=tol)
+
+
+def test_terrain_pallas_nodata():
+    from richdem_tpu.ops.pallas_stencils import terrain_attribute_pallas
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(64, seed=5, dtype=np.float32),
+        no_data=-9999.0)
+    got = np.asarray(terrain_attribute_pallas(dem, "slope_radians",
+                                              no_data=-9999.0))
+    assert np.isnan(got[dem == -9999.0]).all()
+    assert np.isfinite(got[dem != -9999.0]).all()
