@@ -21,6 +21,7 @@ Differences from pyrichdem, all deliberate and documented:
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -91,16 +92,25 @@ def FillDepressions(dem, epsilon=False, in_place=False, topology="D8",
     mask = ops.stencil.nodata_like(z, rd.no_data)
     if topology == "D4":
         from richdem_tpu.ops.sweeps import BIG
-        costs = jnp.asarray(
-            [eps, BIG, eps, BIG, eps, BIG, eps, BIG],
-            z.dtype)[:, None, None] * jnp.ones_like(z)[None]
-        neg = jnp.asarray(-BIG, z.dtype)
-        floor = jnp.where(mask, neg, z)
-        w0 = jnp.where(mask, neg, jnp.asarray(BIG, z.dtype))
-        from richdem_tpu.ops.sweeps import minplus_fixpoint
-        filled, _, _ = minplus_fixpoint(w0, floor, costs, boundary=neg,
-                                        max_iters=max_iters)
-        filled = jnp.where(mask, z, filled)
+        if jax.default_backend() == "tpu":
+            # D4 = the fill sweep with diagonal edges priced out.  BIG/2
+            # (not BIG) so the off-grid boundary injection -BIG + eps_diag
+            # stays hugely negative instead of cancelling to 0.
+            from richdem_tpu.ops.pallas_sweeps import fill_fixpoint_pallas
+            filled, _, _ = fill_fixpoint_pallas(
+                z, mask, eps=eps, eps_diag=BIG / 2, max_iters=max_iters)
+            filled = filled.astype(z.dtype)
+        else:
+            costs = jnp.asarray(
+                [eps, BIG, eps, BIG, eps, BIG, eps, BIG],
+                z.dtype)[:, None, None] * jnp.ones_like(z)[None]
+            neg = jnp.asarray(-BIG, z.dtype)
+            floor = jnp.where(mask, neg, z)
+            w0 = jnp.where(mask, neg, jnp.asarray(BIG, z.dtype))
+            from richdem_tpu.ops.sweeps import minplus_fixpoint
+            filled, _, _ = minplus_fixpoint(w0, floor, costs, boundary=neg,
+                                            max_iters=max_iters)
+            filled = jnp.where(mask, z, filled)
     else:
         filled = ops.fill_depressions(z, no_data=rd.no_data, eps=eps,
                                       max_iters=max_iters)

@@ -179,3 +179,20 @@ def test_terrain_pallas_nodata():
                                               no_data=-9999.0))
     assert np.isnan(got[dem == -9999.0]).all()
     assert np.isfinite(got[dem != -9999.0]).all()
+
+
+def test_fill_d4_pallas_matches_xla():
+    from richdem_tpu.ops.pallas_sweeps import fill_fixpoint_pallas, BIG
+    from richdem_tpu.ops.sweeps import minplus_fixpoint
+    import jax.numpy as jnp
+    dem = synth.depression_dem(64, seed=13, dtype=np.float32)
+    got, _, done = fill_fixpoint_pallas(dem, eps=1e-3, eps_diag=BIG / 2)
+    assert bool(done)
+    z = jnp.asarray(dem)
+    costs = jnp.asarray([1e-3, BIG, 1e-3, BIG, 1e-3, BIG, 1e-3, BIG],
+                        jnp.float32)[:, None, None] * jnp.ones_like(z)[None]
+    want, _, _ = minplus_fixpoint(
+        jnp.full(z.shape, BIG, jnp.float32), z, costs,
+        boundary=jnp.float32(-BIG), max_iters=1024)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
