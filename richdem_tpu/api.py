@@ -96,7 +96,7 @@ def FillDepressions(dem, epsilon=False, in_place=False, topology="D8",
             # D4 = the fill sweep with diagonal edges priced out.  BIG/2
             # (not BIG) so the off-grid boundary injection -BIG + eps_diag
             # stays hugely negative instead of cancelling to 0.
-            from richdem_tpu.ops.pallas_sweeps import fill_fixpoint_pallas
+            from richdem_tpu.ops.pallas_folded import fill_fixpoint_pallas
             filled, _, _ = fill_fixpoint_pallas(
                 z, mask, eps=eps, eps_diag=BIG / 2, max_iters=max_iters)
             filled = filled.astype(z.dtype)

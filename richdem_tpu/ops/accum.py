@@ -274,7 +274,7 @@ def d8_accumulation(flowdirs, weights=None, no_data_mask=None,
     the TPU fast path (see block comment above).  On TPU the sweeps run
     as Pallas strip kernels (``ops.pallas_sweeps``)."""
     if jax.default_backend() == "tpu":
-        from richdem_tpu.ops.pallas_sweeps import d8_accumulation_gs
+        from richdem_tpu.ops.pallas_folded import d8_accumulation_gs
         return d8_accumulation_gs(flowdirs, weights=weights,
                                   no_data_mask=no_data_mask,
                                   max_rotations=max_rotations)

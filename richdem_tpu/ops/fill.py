@@ -83,7 +83,7 @@ def fill_depressions(dem, no_data=None, eps=0.0, max_iters=1024,
     z = jnp.asarray(dem)
     mask = nodata_like(z, no_data)
     if jax.default_backend() == "tpu":
-        from richdem_tpu.ops.pallas_sweeps import fill_fixpoint_pallas
+        from richdem_tpu.ops.pallas_folded import fill_fixpoint_pallas
         eps_diag = eps * float(np.sqrt(2.0)) if scale_diagonal else None
         filled, _, _ = fill_fixpoint_pallas(z, mask, eps=eps,
                                             eps_diag=eps_diag,

@@ -1,0 +1,368 @@
+"""Folded-row Pallas sweeps: full-VPU fill and D8 accumulation.
+
+The strip-sequential kernels in :mod:`richdem_tpu.ops.pallas_sweeps`
+process one ``(1, W)`` row per loop step.  On TPU that row occupies
+``W/128`` vregs at 1/8 sublane utilization, so the sweeps are
+vector-issue-bound (~0.7–1 µs per 8192-wide row — measured).  Here each
+raster is **folded**: ``(H, W) → (H·f, W/f)`` row-major, so one original
+row becomes an ``(f, L)`` group filling whole vregs (f=8 ⇒ 8× fewer
+vector ops per row).  The price is a seam at each chunk boundary, fixed
+by one sublane roll + two selects per lane shift.
+
+Also removes per-sweep flip copies: the "up" sweep re-walks strips and
+rows in reverse grid order (static ``reverse`` flag) instead of flipping
+rasters, and the accumulation kernel reads the adjacent strip's rows via
+``index_map`` (no materialized ±1-row rolled copies).
+
+Same fixpoints, same oracle gates (tests/test_pallas_folded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from richdem_tpu.ops.sweeps import BIG
+from richdem_tpu.ops.pallas_sweeps import (_PERM_FLIPUD, _PERM_TRANSPOSE,
+                                           _pad_to, _strip_height)
+
+__all__ = ["fill_fixpoint_folded", "d8_accumulation_folded"]
+
+
+#: Fold factor is always 8: Mosaic vector loads of an (f, L) group at a
+#: dynamic sublane offset must be provably 8-aligned, so both grid dims
+#: are padded to multiples of 8·128 = 1024 and groups start at r·8.
+_F = 8
+_FOLD_PAD = _F * 128
+
+
+def _fold(x, f):
+    """(H, W) → (H·f, W/f): original row r = folded rows [r·f, (r+1)·f)."""
+    h, w = x.shape
+    return x.reshape(h * f, w // f)
+
+
+def _unfold(x, f):
+    hf, L = x.shape
+    return x.reshape(hf // f, L * f)
+
+
+def _iotas(shape):
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return lane, sub
+
+
+def _gshift_east(x, fill, f):
+    """West-neighbor values of a folded row-group (f, L)."""
+    L = x.shape[-1]
+    rolled = pltpu.roll(x, 1, axis=1)
+    lane, sub = _iotas(x.shape)
+    if f == 1:
+        return jnp.where(lane == 0, fill, rolled)
+    prev_last = pltpu.roll(x[:, L - 1:L], 1, axis=0)  # row s ← x[s-1, L-1]
+    out = jnp.where(lane == 0, prev_last, rolled)
+    return jnp.where((lane == 0) & (sub == 0), fill, out)
+
+
+def _gshift_west(x, fill, f):
+    """East-neighbor values of a folded row-group (f, L)."""
+    L = x.shape[-1]
+    rolled = pltpu.roll(x, L - 1, axis=1)
+    lane, sub = _iotas(x.shape)
+    if f == 1:
+        return jnp.where(lane == L - 1, fill, rolled)
+    next_first = pltpu.roll(x[:, 0:1], f - 1, axis=0)  # row s ← x[s+1, 0]
+    out = jnp.where(lane == L - 1, next_first, rolled)
+    return jnp.where((lane == L - 1) & (sub == f - 1), fill, out)
+
+
+# ---------------------------------------------------------------------------
+# Fill
+# ---------------------------------------------------------------------------
+
+def _fill_kernel(eps_ref, w_ref, floor_ref, out_ref, carry, *, bh, f,
+                 reverse):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        # off-grid row beyond the first processed strip: a drain
+        carry[...] = jnp.full(carry.shape, -BIG, carry.dtype)
+
+    neg = jnp.float32(-BIG)
+    eps = eps_ref[0]
+    eps_diag = eps_ref[1]
+
+    def row_body(k, prev):
+        r = (bh - 1 - k) if reverse else k
+        sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        wr = w_ref[sl]
+        fr = floor_ref[sl]
+        cand = prev + eps
+        cand = jnp.minimum(cand, _gshift_east(prev, neg, f) + eps_diag)
+        cand = jnp.minimum(cand, _gshift_west(prev, neg, f) + eps_diag)
+        new = jnp.minimum(wr, jnp.maximum(fr, cand))
+        out_ref[sl] = new
+        return new
+
+    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
+
+
+def _fill_sweep(w, floor, eps2, f, reverse):
+    hf, L = w.shape
+    h = hf // f
+    bh = _strip_height(L * f, n_bufs=3)
+    assert h % bh == 0, (h, bh)
+    n = h // bh
+    if reverse:
+        def imap(i, eps):
+            return (n - 1 - i, 0)
+    else:
+        def imap(i, eps):
+            return (i, 0)
+    blk = pl.BlockSpec((bh * f, L), imap, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[blk, blk],
+        out_specs=blk,
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fill_kernel, bh=bh, f=f, reverse=reverse),
+        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        grid_spec=grid_spec,
+    )(eps2, w, floor)
+
+
+def _refold_T(x_folded, f_from, f_to):
+    """Convert vertical-folded state to transposed-folded (one permute)."""
+    return _fold(_unfold(x_folded, f_from).T, f_to)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def fill_fixpoint_folded(z, nodata_mask=None, eps=0.0, eps_diag=None,
+                         max_iters=256, check_every=1, w0=None):
+    """Drop-in for ``pallas_sweeps.fill_fixpoint_pallas`` (same fixpoint,
+    same (filled, iters, converged) contract), ~3× faster sweeps."""
+    z32 = jnp.asarray(z, jnp.float32)
+    h, wd = z32.shape
+    if nodata_mask is None:
+        nodata_mask = jnp.zeros(z32.shape, bool)
+    neg = jnp.float32(-BIG)
+    floor = jnp.where(nodata_mask, neg, z32)
+    if w0 is None:
+        w0 = jnp.where(nodata_mask, neg, jnp.float32(BIG))
+    else:
+        w0 = jnp.where(nodata_mask, neg, jnp.asarray(w0, jnp.float32))
+
+    floor_p = _pad_to(floor, -BIG, mh=_FOLD_PAD, mw=_FOLD_PAD)
+    w_p = _pad_to(w0, -BIG, mh=_FOLD_PAD, mw=_FOLD_PAD)
+    hp, wp = w_p.shape
+    f_v = f_t = _F
+    floor_v = _fold(floor_p, f_v)
+    floor_t = _fold(floor_p.T, f_t)
+    wv = _fold(w_p, f_v)
+    eps = jnp.asarray(eps, jnp.float32)
+    eps_d = eps if eps_diag is None else jnp.asarray(eps_diag, jnp.float32)
+    eps2 = jnp.stack([eps, eps_d])
+
+    def rotation(wv):
+        wv = _fill_sweep(wv, floor_v, eps2, f_v, reverse=False)
+        wv = _fill_sweep(wv, floor_v, eps2, f_v, reverse=True)
+        wt = _refold_T(wv, f_v, f_t)
+        wt = _fill_sweep(wt, floor_t, eps2, f_t, reverse=False)
+        wt = _fill_sweep(wt, floor_t, eps2, f_t, reverse=True)
+        return _fold(_unfold(wt, f_t).T, f_v)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(state):
+        w, it, _ = state
+        new = w
+        for _ in range(check_every):
+            new = rotation(new)
+        return new, it + check_every, jnp.all(new == w)
+
+    done0 = jnp.any(wv != wv)
+    wv, iters, done = jax.lax.while_loop(cond, body,
+                                         (wv, jnp.int32(0), done0))
+    filled = _unfold(wv, f_v)[:h, :wd]
+    return jnp.where(nodata_mask, z32, filled), iters, done
+
+
+# ---------------------------------------------------------------------------
+# D8 accumulation
+# ---------------------------------------------------------------------------
+
+def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
+                  c_acc, c_fd, *, bh, f, reverse):
+    """GS sweep of ``A = w + Pᵀ A``; folded groups, strip carry.
+
+    forward: NEW side = processed row above (source codes S=7 straight,
+    SE=6 from the west source, SW=8 from the east source); OLD side = row
+    below, sweep-start values (codes N=3, NE=4 west, NW=2 east).
+    reverse swaps the code trios and walks everything bottom-up.
+    fdx/accx are the next-unprocessed strip (index-mapped), for the
+    strip-boundary old row; carry holds the last processed group's new
+    accumulation and codes."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        c_acc[...] = jnp.zeros(c_acc.shape, c_acc.dtype)
+        c_fd[...] = jnp.zeros(c_fd.shape, c_fd.dtype)
+
+    zero = jnp.float32(0.0)
+    new_codes = (3, 4, 2) if reverse else (7, 6, 8)
+    old_codes = (7, 6, 8) if reverse else (3, 4, 2)
+
+    def row_body(k, carry_in):
+        prev_a, prev_fd = carry_in
+        r = (bh - 1 - k) if reverse else k
+        sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        a_l = acc_ref[sl]
+        w_l = w_ref[sl]
+        fd_l = fd_ref[sl]
+
+        cs, cw, ce = new_codes
+        newc = (prev_a * (prev_fd == cs)
+                + _gshift_east(prev_a * (prev_fd == cw), zero, f)
+                + _gshift_west(prev_a * (prev_fd == ce), zero, f))
+
+        # old-side row: within the strip, else the adjacent strip's
+        # boundary group; zero past the spatial edge.
+        ro = r - 1 if reverse else r + 1
+        in_strip = (ro >= 0) & (ro < bh)
+        rs = jnp.clip(ro, 0, bh - 1)
+        bd = bh - 1 if reverse else 0
+        at_edge = i == n - 1
+        rsf = pl.multiple_of(rs * f, f)
+        a_o = jnp.where(in_strip, acc_ref[pl.ds(rsf, f), :],
+                        accx_ref[pl.ds(bd * f, f), :])
+        fd_o = jnp.where(in_strip, fd_ref[pl.ds(rsf, f), :],
+                         fdx_ref[pl.ds(bd * f, f), :])
+        a_o = a_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
+
+        os_, ow, oe = old_codes
+        oldb = (a_o * (fd_o == os_)
+                + _gshift_east(a_o * (fd_o == ow), zero, f)
+                + _gshift_west(a_o * (fd_o == oe), zero, f))
+        oldl = (_gshift_east(a_l * (fd_l == 5), zero, f)
+                + _gshift_west(a_l * (fd_l == 1), zero, f))
+        new = w_l + newc + oldb + oldl
+        out_ref[sl] = new
+        return (new, fd_l)
+
+    acc_fin, fd_fin = jax.lax.fori_loop(0, bh, row_body,
+                                        (c_acc[...], c_fd[...]))
+    c_acc[...] = acc_fin
+    c_fd[...] = fd_fin
+
+
+def _accum_sweep(acc, w, fd, f, reverse):
+    hf, L = acc.shape
+    h = hf // f
+    bh = _strip_height(L * f, n_bufs=6)
+    assert h % bh == 0, (h, bh)
+    n = h // bh
+    if reverse:
+        def smap(i):
+            return n - 1 - i
+
+        def xmap(i):
+            return jnp.maximum(n - 2 - i, 0)
+    else:
+        def smap(i):
+            return i
+
+        def xmap(i):
+            return jnp.minimum(i + 1, n - 1)
+
+    def blk(m):
+        return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_accum_kernel, bh=bh, f=f, reverse=reverse),
+        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        grid=(n,),
+        in_specs=[blk(smap), blk(smap), blk(xmap), blk(smap), blk(xmap)],
+        out_specs=blk(smap),
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
+                        pltpu.VMEM((f, L), jnp.int32)],
+    )(w, fd, fd, acc, acc)
+
+
+def _remap_codes(fd, perm):
+    table = jnp.asarray(np.asarray(perm, np.int32))
+    return table[fd.clip(0)]
+
+
+@functools.partial(jax.jit, static_argnames=("max_rotations",))
+def _accum_folded_impl(fd, weights, max_rotations):
+    h, wd = fd.shape
+    fd_p = _pad_to(jnp.asarray(fd, jnp.int32).clip(0), 0,
+                   mh=_FOLD_PAD, mw=_FOLD_PAD)
+    w_p = _pad_to(jnp.asarray(weights, jnp.float32), 0.0,
+                  mh=_FOLD_PAD, mw=_FOLD_PAD)
+    hp, wp = fd_p.shape
+    f_v = f_t = _F
+    fd_v = _fold(fd_p, f_v)
+    fd_t = _fold(_remap_codes(fd_p, _PERM_TRANSPOSE).T, f_t)
+    w_v = _fold(w_p, f_v)
+    w_t = _fold(w_p.T, f_t)
+
+    def rotation(acc):
+        acc = _accum_sweep(acc, w_v, fd_v, f_v, reverse=False)
+        acc = _accum_sweep(acc, w_v, fd_v, f_v, reverse=True)
+        at = _refold_T(acc, f_v, f_t)
+        at = _accum_sweep(at, w_t, fd_t, f_t, reverse=False)
+        at = _accum_sweep(at, w_t, fd_t, f_t, reverse=True)
+        return _fold(_unfold(at, f_t).T, f_v)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_rotations)
+
+    def body(state):
+        acc, it, _ = state
+        new = rotation(acc)
+        return new, it + 1, jnp.all(new == acc)
+
+    done0 = jnp.any(w_v != w_v)
+    acc, iters, done = jax.lax.while_loop(cond, body,
+                                          (w_v, jnp.int32(0), done0))
+    return _unfold(acc, f_v)[:h, :wd], iters, done
+
+
+def d8_accumulation_folded(flowdirs, weights=None, no_data_mask=None,
+                           max_rotations=64):
+    """Drop-in for ``pallas_sweeps.d8_accumulation_gs`` (exact D8
+    accumulation), folded-row kernels."""
+    fd = jnp.asarray(flowdirs)
+    h, wd = fd.shape
+    if weights is None:
+        weights = jnp.ones((h, wd), jnp.float32)
+    else:
+        weights = jnp.asarray(weights, jnp.float32)
+    if no_data_mask is not None:
+        weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
+    acc, _, _ = _accum_folded_impl(fd, weights, max_rotations)
+    if no_data_mask is not None:
+        acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    return acc
+
+
+#: Aliases so call sites can switch between engines by import only.
+fill_fixpoint_pallas = fill_fixpoint_folded
+d8_accumulation_gs = d8_accumulation_folded

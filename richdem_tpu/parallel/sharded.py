@@ -52,7 +52,7 @@ def _local_fill_solve(ext, floor_ext, eps, inner_iters):
     """Exact local fill fixpoint on the halo-extended block, ring clamped
     (``w0 == floor`` on the ring).  Pallas sweeps on TPU, XLA elsewhere."""
     if jax.default_backend() == "tpu":
-        from richdem_tpu.ops.pallas_sweeps import fill_fixpoint_pallas
+        from richdem_tpu.ops.pallas_folded import fill_fixpoint_pallas
         new_ext, _, _ = fill_fixpoint_pallas(
             floor_ext, eps=eps, max_iters=inner_iters, w0=ext)
         return new_ext
@@ -73,7 +73,7 @@ def sharded_fill(dem, mesh=None, nodata_mask=None, eps=0.0,
     mask = _put(jnp.asarray(nodata_mask), mesh)
 
     @partial(shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
-             out_specs=P("y", "x"))
+             out_specs=P("y", "x"), check_vma=False)
     def run(zb, mb):
         neg = jnp.asarray(-BIG, zb.dtype)
         floor_in = jnp.where(mb, neg, zb)
@@ -104,7 +104,7 @@ def _stencil_sharded(mesh, z, mask, core):
     """One-halo-exchange wrapper for pure 3x3 stencil cores."""
 
     @partial(shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
-             out_specs=P("y", "x"))
+             out_specs=P("y", "x"), check_vma=False)
     def run(zb, mb):
         ext_z = exchange_halo(zb, halo=1, fill=jnp.nan)
         ext_m = exchange_halo(mb, halo=1, fill=True)
@@ -147,7 +147,7 @@ def sharded_d8_flowdirs(dem, mesh=None, nodata_mask=None, cellsize=1.0,
 def _local_accum_solve(fd, w_eff, max_rotations):
     """Exact local D8 accumulation (Pallas GS on TPU, XLA GS elsewhere)."""
     if jax.default_backend() == "tpu":
-        from richdem_tpu.ops.pallas_sweeps import d8_accumulation_gs
+        from richdem_tpu.ops.pallas_folded import d8_accumulation_gs
         return d8_accumulation_gs(fd, weights=w_eff,
                                   max_rotations=max_rotations)
     return accum_ops._d8_gs_impl(fd, w_eff, max_rotations=max_rotations)
@@ -181,7 +181,7 @@ def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
     from richdem_tpu.topology import D8_INVERSE
 
     @partial(shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
-             out_specs=P("y", "x"))
+             out_specs=P("y", "x"), check_vma=False)
     def run(fdb, wb):
         # Ring flow directions are static: exchange once.
         fd_ext = exchange_halo(fdb, halo=1, fill=0)

@@ -48,7 +48,7 @@ def _pipeline_xla(z, eps, cellsize, fill_iters, rounds, with_twi):
 
 
 def _pipeline_pallas(z, eps, cellsize, fill_iters, rounds):
-    from richdem_tpu.ops.pallas_sweeps import (fill_fixpoint_pallas,
+    from richdem_tpu.ops.pallas_folded import (fill_fixpoint_pallas,
                                                d8_accumulation_gs)
     from richdem_tpu.ops.pallas_stencils import d8_flowdirs_pallas
 
