@@ -162,6 +162,37 @@ def cmd_convert(args):
     _save(args.output, _load(args.input))
 
 
+def cmd_taudem(args):
+    """Convert a TauDEM-encoded D8 raster to the package encoding (or
+    back) — counterpart of ``rd_taudem_d8_to_richdem_d8``."""
+    from richdem_tpu.topology import from_taudem_d8, to_taudem_d8
+    r = _load(args.input)
+    fn = to_taudem_d8 if args.reverse else from_taudem_d8
+    r.data = fn(np.asarray(r.data))
+    _save(args.output, r)
+
+
+def cmd_pipeline(args):
+    """fill -> flowdirs -> accumulation (-> TWI) with optional
+    phase-granular resume (--cache-dir)."""
+    from richdem_tpu.grid import rdarray
+    r = _load(args.input)
+    if args.cache_dir:
+        from richdem_tpu.pipeline import resumable_pipeline
+        out = resumable_pipeline(r.np(), args.cache_dir,
+                                 grid_id=args.grid_id, eps=args.eps_value,
+                                 with_twi=args.twi, no_data=r.no_data)
+    else:
+        from richdem_tpu.pipeline import terrain_pipeline
+        out = terrain_pipeline(r.np(), eps=args.eps_value,
+                               with_twi=args.twi)
+    base = args.output
+    for key, arr in out.items():
+        path = base.replace("%s", key) if "%s" in base else \
+            f"{base}.{key}.npz"
+        _save(path, r.like(np.asarray(arr)))
+
+
 def cmd_synth(args):
     from richdem_tpu import synth
     from richdem_tpu.grid import rdarray
@@ -272,6 +303,21 @@ def build_parser():
     sp.add_argument("output")
     sp.add_argument("--size", type=int, default=1024)
     sp.add_argument("--seed", type=int, default=0)
+
+    sp = add("taudem-convert", cmd_taudem,
+             help="convert TauDEM D8 encoding to package encoding")
+    sp.add_argument("input"); sp.add_argument("output")
+    sp.add_argument("--reverse", action="store_true",
+                    help="package encoding -> TauDEM")
+
+    sp = add("pipeline", cmd_pipeline,
+             help="fill->flowdirs->accum (->TWI), resumable")
+    sp.add_argument("input"); sp.add_argument("output",
+                    help="output base; '%%s' expands to the raster name")
+    sp.add_argument("--eps-value", type=float, default=1e-3)
+    sp.add_argument("--twi", action="store_true")
+    sp.add_argument("--cache-dir", default=None)
+    sp.add_argument("--grid-id", default="grid")
 
     sp = add("merge", cmd_merge, help="stitch tiles by layout manifest")
     sp.add_argument("layout"); sp.add_argument("output")

@@ -95,3 +95,30 @@ def neighbors(row: int, col: int, height: int, width: int,
         ncol = col + int(DX[d])
         if 0 <= nrow < height and 0 <= ncol < width:
             yield d, nrow, ncol
+
+
+# -- Encoding converters --------------------------------------------------
+#
+# TauDEM numbers the 8 directions 1..8 counter-clockwise from EAST; this
+# package (following the reference's constant tables, SURVEY.md §2.1)
+# numbers them counter-clockwise from WEST.  Counterpart of the
+# reference's ``rd_taudem_d8_to_richdem_d8`` app.
+
+#: TauDEM code (1=E, 2=NE, …, 8=SE) → package code; 0 stays NO_FLOW.
+TAUDEM_TO_RICHDEM = np.array([0, 5, 4, 3, 2, 1, 8, 7, 6], dtype=np.int8)
+#: package code → TauDEM code (the map is an involution on 1..8).
+RICHDEM_TO_TAUDEM = TAUDEM_TO_RICHDEM
+
+
+def from_taudem_d8(flowdirs):
+    """Convert a TauDEM D8 raster to package encoding (negatives kept as
+    nodata markers)."""
+    fd = np.asarray(flowdirs)
+    out = np.where(fd >= 0, TAUDEM_TO_RICHDEM[np.clip(fd, 0, 8)],
+                   fd).astype(np.int8)
+    return out
+
+
+def to_taudem_d8(flowdirs):
+    """Convert a package D8 raster to TauDEM encoding."""
+    return from_taudem_d8(flowdirs)  # involution

@@ -106,3 +106,40 @@ def test_no_data_and_geotransform_verbs(tmp_path, dem_path, capsys):
     main(["geotransform", str(dem_path)])
     assert json.loads(capsys.readouterr().out) == [0.0, 1.0, 0.0, 0.0,
                                                    0.0, -1.0]
+
+
+def test_taudem_convert(tmp_path, capsys):
+    import numpy as np
+    from richdem_tpu.cli import main
+    from richdem_tpu.grid import rdarray
+    from richdem_tpu.io import save
+    fd = np.array([[1, 5, 0], [3, 7, -1]], np.int8)  # TauDEM codes
+    src = str(tmp_path / "fd.npz")
+    dst = str(tmp_path / "fd_rd.npz")
+    save(src, rdarray(fd))
+    main(["taudem-convert", src, dst])
+    from richdem_tpu.io import load
+    out = np.asarray(load(dst).data)
+    want = np.array([[5, 1, 0], [3, 7, -1]], np.int8)
+    np.testing.assert_array_equal(out, want)
+    # round trip
+    back = str(tmp_path / "fd_back.npz")
+    main(["taudem-convert", dst, back, "--reverse"])
+    np.testing.assert_array_equal(np.asarray(load(back).data), fd)
+
+
+def test_pipeline_verb(tmp_path):
+    import numpy as np
+    from richdem_tpu.cli import main
+    from richdem_tpu.grid import rdarray
+    from richdem_tpu.io import save, load
+    from richdem_tpu import synth
+    dem = synth.depression_dem(48, seed=7, dtype=np.float32)
+    src = str(tmp_path / "dem.npz")
+    save(src, rdarray(dem))
+    base = str(tmp_path / "out")
+    main(["pipeline", src, base, "--twi",
+          "--cache-dir", str(tmp_path / "cache")])
+    acc = np.asarray(load(base + ".accum.npz").data)
+    fd = np.asarray(load(base + ".flowdirs.npz").data)
+    assert acc[fd == 0].sum() == dem.size
