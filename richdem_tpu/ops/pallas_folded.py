@@ -33,6 +33,10 @@ from richdem_tpu.ops.pallas_sweeps import (_PERM_FLIPUD, _PERM_TRANSPOSE,
 
 __all__ = ["fill_fixpoint_folded", "d8_accumulation_folded"]
 
+#: below this edge length the unfolded kernels (256-pad) win — folding
+#: pads both dims to 1024 multiples.
+_FOLD_MIN = 2048
+
 
 #: Fold factor is always 8: Mosaic vector loads of an (f, L) group at a
 #: dynamic sublane offset must be provably 8-aligned, so both grid dims
@@ -153,6 +157,11 @@ def fill_fixpoint_folded(z, nodata_mask=None, eps=0.0, eps_diag=None,
     same (filled, iters, converged) contract), ~3× faster sweeps."""
     z32 = jnp.asarray(z, jnp.float32)
     h, wd = z32.shape
+    if max(h, wd) < _FOLD_MIN:
+        from richdem_tpu.ops import pallas_sweeps
+        return pallas_sweeps.fill_fixpoint_pallas(
+            z, nodata_mask, eps=eps, eps_diag=eps_diag,
+            max_iters=max_iters, check_every=check_every, w0=w0)
     if nodata_mask is None:
         nodata_mask = jnp.zeros(z32.shape, bool)
     neg = jnp.float32(-BIG)
@@ -351,6 +360,11 @@ def d8_accumulation_folded(flowdirs, weights=None, no_data_mask=None,
     accumulation), folded-row kernels."""
     fd = jnp.asarray(flowdirs)
     h, wd = fd.shape
+    if max(h, wd) < _FOLD_MIN:
+        from richdem_tpu.ops import pallas_sweeps
+        return pallas_sweeps.d8_accumulation_gs(
+            flowdirs, weights=weights, no_data_mask=no_data_mask,
+            max_rotations=max_rotations)
     if weights is None:
         weights = jnp.ones((h, wd), jnp.float32)
     else:
