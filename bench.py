@@ -64,14 +64,56 @@ def main():
     # Plain fill (the reference's FillDepressions default).  f32 ulp-scale
     # epsilons create a rounding-creep convergence tail — see ops/fill.py.
     eps = 0.0
-    step = make_pipeline(z.shape, eps=eps, fill_iters=256)
+    # BENCH_CONFIG selects the BASELINE.md scenario:
+    #   pipeline  (default) — config 3: fill → D8 flowdirs → accumulation
+    #   fill_flats          — config 2: epsilon fill + flat resolution
+    #   dinf_twi            — config 4: D∞ routing + accumulation + TWI
+    config = os.environ.get("BENCH_CONFIG", "pipeline")
+    label = "fill+flowdir+accum"
 
-    def run_once():
-        out = step(z)
-        # Force a device->host scalar round-trip: on the axon tunnel
-        # backend, block_until_ready() returns before execution finishes,
-        # so a materialized value is the only honest fence.
-        return float(out["accum"].sum())
+    if config == "pipeline":
+        step = make_pipeline(z.shape, eps=eps, fill_iters=256)
+
+        def run_once():
+            out = step(z)
+            # Force a device->host scalar round-trip: on the axon tunnel
+            # backend, block_until_ready() returns before execution
+            # finishes, so a materialized value is the only honest fence.
+            return float(out["accum"].sum())
+    elif config == "fill_flats":
+        import jax.numpy as jnp
+        from richdem_tpu import ops
+        from richdem_tpu.ops.flats import resolve_flats
+        from richdem_tpu.ops.fill import auto_epsilon
+        label = "epsilon-fill+flat-resolution"
+        eps_v = auto_epsilon(np.asarray(z[::64, ::64]))
+
+        @jax.jit
+        def step(z):
+            filled = ops.fill_depressions(z, eps=eps_v)
+            fd = ops.d8_flowdirs(filled)
+            return resolve_flats(filled, fd)
+
+        def run_once():
+            return float((step(z) != 0).sum())
+    elif config == "dinf_twi":
+        from richdem_tpu import ops
+        from richdem_tpu.methods import twi
+        from richdem_tpu.ops.terrain import terrain_attribute
+        label = "fill+dinf-accum+TWI"
+
+        @jax.jit
+        def step(z):
+            filled = ops.fill_depressions(z, eps=1e-2)
+            props = ops.flow_proportions(filled, method="Dinf")
+            acc = ops.flow_accumulation_from_props(props)
+            slope = terrain_attribute(filled, "slope_radians")
+            return twi(acc, slope)
+
+        def run_once():
+            return abs(float(step(z)[::64, ::64].sum()))
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG {config!r}")
 
     # Warmup/compile.
     checksum = run_once()
@@ -87,7 +129,7 @@ def main():
 
     baseline = measure_cpu_baseline(gen)
     result = {
-        "metric": (f"fill+flowdir+accum grid-points/s "
+        "metric": (f"{label} grid-points/s "
                    f"({size}x{size} {terrain}, {platform})"),
         "value": round(cells_per_s, 1),
         "unit": "cells/s",
