@@ -54,14 +54,37 @@ def _successors(fd):
     return jnp.where(valid, nr * w + nc, self_idx).reshape(-1)
 
 
+def _fd_effective(fd):
+    """fd with off-grid-pointing cells turned into terminals (code 0)."""
+    fd = jnp.asarray(fd).astype(jnp.int32)
+    h, w = fd.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    dy = jnp.asarray(np.asarray(DY, np.int32))[fd.clip(0)]
+    dx = jnp.asarray(np.asarray(DX, np.int32))[fd.clip(0)]
+    nr, nc = rows + dy, cols + dx
+    valid = (fd > 0) & (nr >= 0) & (nr < h) & (nc >= 0) & (nc < w)
+    return jnp.where(valid, fd, 0)
+
+
 @jax.jit
 def watersheds_from_flowdirs(flowdirs):
     """Label every cell with the flat index of its terminal cell — the
-    drainage-basin partition (reference ``find_watersheds``).  Log-depth
-    pointer doubling: after ⌈log2 L⌉ gather rounds every pointer rests at
-    its terminal.  Nodata/NO_FLOW cells label themselves."""
+    drainage-basin partition (reference ``find_watersheds``).
+    Nodata/NO_FLOW cells label themselves.
+
+    TPU: successor-resolve GS sweeps (Pallas); elsewhere log-depth pointer
+    doubling (⌈log2 L⌉ gather rounds)."""
     fd = jnp.asarray(flowdirs)
     h, w = fd.shape
+    if jax.default_backend() == "tpu" and max(h, w) >= 512:
+        from richdem_tpu.ops.pallas_folded import successor_resolve_folded
+        fd_eff = _fd_effective(fd)
+        self_idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+                    + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+        pinned = fd_eff == 0
+        init = jnp.where(pinned, self_idx, -1)
+        return successor_resolve_folded(fd_eff, init, pinned)
     succ = _successors(fd)
     rounds = max(1, int(np.ceil(np.log2(max(h * w, 2)))))
 
@@ -75,9 +98,18 @@ def watersheds_from_flowdirs(flowdirs):
 @jax.jit
 def upslope_cells(seed_mask, flowdirs):
     """Cells whose flow path passes through any seed cell (inclusive) —
-    reference ``d8_upslope_cells``.  Doubling on (successor, hit-seed)."""
+    reference ``d8_upslope_cells``.  Successor-resolve GS sweeps on TPU;
+    doubling on (successor, hit-seed) elsewhere."""
     fd = jnp.asarray(flowdirs)
     h, w = fd.shape
+    if jax.default_backend() == "tpu" and max(h, w) >= 512:
+        from richdem_tpu.ops.pallas_folded import successor_resolve_folded
+        fd_eff = _fd_effective(fd)
+        seeds = jnp.asarray(seed_mask)
+        pinned = seeds | (fd_eff == 0)
+        init = jnp.where(seeds, 1, 0)
+        out = successor_resolve_folded(fd_eff, init, pinned)
+        return out > 0
     succ = _successors(fd)
     hit = jnp.asarray(seed_mask).reshape(-1)
     rounds = max(1, int(np.ceil(np.log2(max(h * w, 2)))))

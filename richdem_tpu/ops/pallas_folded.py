@@ -380,3 +380,135 @@ def d8_accumulation_folded(flowdirs, weights=None, no_data_mask=None,
 #: Aliases so call sites can switch between engines by import only.
 fill_fixpoint_pallas = fill_fixpoint_folded
 d8_accumulation_gs = d8_accumulation_folded
+
+
+# ---------------------------------------------------------------------------
+# Successor resolve: V(c) = V(successor(c)) until fixpoint
+# ---------------------------------------------------------------------------
+#
+# Watershed labeling and upslope-cell marking both copy a value from each
+# cell's D8 successor (the cell it flows to) until every cell carries its
+# terminal's value — the reverse-direction analog of accumulation.  The
+# same strip-GS structure applies: a down-sweep resolves every cell whose
+# successor chain climbs monotonically upward, etc.  ``pinned`` cells
+# (sinks, seeds) keep their init value.
+
+def _resolve_kernel(v_ref, vx_ref, fd_ref, fdx_ref, pin_ref, out_ref,
+                    carry, *, bh, f, reverse):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.full(carry.shape, -1, carry.dtype)
+
+    def row_body(k, prev):
+        r = (bh - 1 - k) if reverse else k
+        sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        v_l = v_ref[sl]
+        fd_l = fd_ref[sl]
+        pin = pin_ref[sl]
+
+        # successor in the already-processed neighbor row (NEW values):
+        # forward: codes {2=NW, 3=N, 4=NE}; reverse: {8=SW, 7=S, 6=SE}.
+        cs, cw, ce = (7, 8, 6) if reverse else (3, 2, 4)
+        fill = jnp.int32(-1)
+        up = jnp.where(fd_l == cs, prev, v_l)
+        up = jnp.where(fd_l == cw, _gshift_east(prev, fill, f), up)
+        up = jnp.where(fd_l == ce, _gshift_west(prev, fill, f), up)
+
+        # successor in the not-yet-processed row (sweep-start values)
+        ro = r - 1 if reverse else r + 1
+        in_strip = (ro >= 0) & (ro < bh)
+        rs = pl.multiple_of(jnp.clip(ro, 0, bh - 1) * f, f)
+        bd = (bh - 1) * f if reverse else 0
+        v_o = jnp.where(in_strip, v_ref[pl.ds(rs, f), :],
+                        vx_ref[pl.ds(bd, f), :])
+        os_, ow, oe = (3, 2, 4) if reverse else (7, 8, 6)
+        dn = jnp.where(fd_l == os_, v_o, up)
+        dn = jnp.where(fd_l == ow, _gshift_east(v_o, fill, f), dn)
+        dn = jnp.where(fd_l == oe, _gshift_west(v_o, fill, f), dn)
+
+        # in-row successors (sweep-start values)
+        new = jnp.where(fd_l == 1, _gshift_east(v_l, fill, f), dn)
+        new = jnp.where(fd_l == 5, _gshift_west(v_l, fill, f), new)
+        new = jnp.where(pin > 0, v_l, new)
+        out_ref[sl] = new
+        return new
+
+    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
+
+
+def _resolve_sweep(v, fd, pin, f, reverse):
+    hf, L = v.shape
+    h = hf // f
+    bh = _strip_height(L * f, n_bufs=6)
+    assert h % bh == 0, (h, bh)
+    n = h // bh
+    if reverse:
+        def smap(i):
+            return n - 1 - i
+
+        def xmap(i):
+            return jnp.maximum(n - 2 - i, 0)
+    else:
+        def smap(i):
+            return i
+
+        def xmap(i):
+            return jnp.minimum(i + 1, n - 1)
+
+    def blk(m):
+        return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_resolve_kernel, bh=bh, f=f, reverse=reverse),
+        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.int32),
+        grid=(n,),
+        in_specs=[blk(smap), blk(xmap), blk(smap), blk(xmap), blk(smap)],
+        out_specs=blk(smap),
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.int32)],
+    )(v, v, fd, fd, pin)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rotations",))
+def successor_resolve_folded(flowdirs, init, pinned, max_rotations=64):
+    """Iterate ``V(c) ← V(successor(c))`` (pinned cells fixed) to the
+    fixpoint; int32 values.  Used for watershed labels and upslope masks.
+    """
+    fd = jnp.asarray(flowdirs)
+    h, wd = fd.shape
+    fd_p = _pad_to(fd.astype(jnp.int32).clip(0), 0,
+                   mh=_FOLD_PAD, mw=_FOLD_PAD)
+    v_p = _pad_to(jnp.asarray(init, jnp.int32), -1,
+                  mh=_FOLD_PAD, mw=_FOLD_PAD)
+    pin_p = _pad_to(jnp.asarray(pinned, jnp.int32), 1,
+                    mh=_FOLD_PAD, mw=_FOLD_PAD)
+    f = _F
+    fd_v = _fold(fd_p, f)
+    fd_t = _fold(_remap_codes(fd_p, _PERM_TRANSPOSE).T, f)
+    pin_v = _fold(pin_p, f)
+    pin_t = _fold(pin_p.T, f)
+    v = _fold(v_p, f)
+
+    def rotation(v):
+        v = _resolve_sweep(v, fd_v, pin_v, f, reverse=False)
+        v = _resolve_sweep(v, fd_v, pin_v, f, reverse=True)
+        vt = _refold_T(v, f, f)
+        vt = _resolve_sweep(vt, fd_t, pin_t, f, reverse=False)
+        vt = _resolve_sweep(vt, fd_t, pin_t, f, reverse=True)
+        return _fold(_unfold(vt, f).T, f)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_rotations)
+
+    def body(state):
+        v, it, _ = state
+        new = rotation(v)
+        return new, it + 1, jnp.all(new == v)
+
+    done0 = jnp.any(fd_v != fd_v)
+    v, _, _ = jax.lax.while_loop(cond, body, (v, jnp.int32(0), done0))
+    return _unfold(v, f)[:h, :wd]
