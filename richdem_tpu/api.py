@@ -83,7 +83,7 @@ def FillDepressions(dem, epsilon=False, in_place=False, topology="D8",
     if topology not in ("D8", "D4"):
         raise ValueError("topology must be 'D8' or 'D4'")
     if epsilon is True:
-        eps = ops.fill.auto_epsilon(rd.np())
+        eps = ops.fill.auto_epsilon(rd.jnp())
     elif epsilon is False:
         eps = 0.0
     else:

@@ -36,13 +36,24 @@ __all__ = ["fill_depressions", "fill_epsilon", "fill_depressions_info",
 
 def auto_epsilon(dem, dtype=None) -> float:
     """Smallest safe fixed epsilon for a DEM: 2 ulp at the max |elevation|
-    plus headroom for accumulation across the grid diameter."""
-    z = np.asarray(dem)
-    dtype = np.dtype(dtype or z.dtype)
-    scale = float(np.max(np.abs(z[np.isfinite(z)]), initial=1.0))
-    diam = sum(z.shape[-2:])
+    plus headroom for accumulation across the grid diameter.
+
+    Only a scalar leaves the device (pulling the whole raster to this
+    host's ~0.3 GB/s RAM costs seconds at 8192²)."""
+    if isinstance(dem, jnp.ndarray):
+        dtype = np.dtype(dtype or dem.dtype)
+        zab = jnp.abs(dem)
+        zab = jnp.where(jnp.isfinite(zab), zab, 0.0)
+        scale = max(float(jnp.max(zab)), 1.0)
+        shape = dem.shape
+    else:
+        z = np.asarray(dem)
+        dtype = np.dtype(dtype or z.dtype)
+        scale = float(np.max(np.abs(z[np.isfinite(z)]), initial=1.0))
+        shape = z.shape
+    diam = sum(shape[-2:])
     # increments must stay resolvable after `diam` additions
-    return float(np.finfo(dtype).eps * max(scale, scale + 0.0) * 4 *
+    return float(np.finfo(dtype).eps * scale * 4 *
                  max(1, int(np.log2(max(diam, 2)))))
 
 
