@@ -129,8 +129,12 @@ def strahler_order(flowdirs, max_iters=4096):
     order(c) = m if the max order among inflowing neighbors is m and it is
     unique, m+1 if two or more inflowing neighbors attain m; leaves
     (no inflow) have order 1.  Iterated as a monotone nondecreasing
-    stencil fixpoint (converges in longest-flow-path steps)."""
+    stencil fixpoint (converges in longest-flow-path steps); on TPU the
+    folded GS sweeps converge in a few rotations instead."""
     fd = jnp.asarray(flowdirs).astype(jnp.int32)
+    if jax.default_backend() == "tpu" and max(fd.shape) >= 512:
+        from richdem_tpu.ops.pallas_folded import strahler_folded
+        return strahler_folded(fd)
     data = fd >= 0
 
     def inflow_orders(order):

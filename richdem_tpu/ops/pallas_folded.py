@@ -512,3 +512,147 @@ def successor_resolve_folded(flowdirs, init, pinned, max_rotations=64):
     done0 = jnp.any(fd_v != fd_v)
     v, _, _ = jax.lax.while_loop(cond, body, (v, jnp.int32(0), done0))
     return _unfold(v, f)[:h, :wd]
+
+
+# ---------------------------------------------------------------------------
+# Strahler stream order
+# ---------------------------------------------------------------------------
+#
+# order(c) = 1 on leaves; m if exactly one inflowing neighbor attains the
+# max inflow order m; m+1 if two or more do.  Orders only grow under the
+# update, so GS sweeps converge from below to the exact DAG solution in a
+# few rotations (the XLA stencil fixpoint needs one iteration per
+# flow-path step).
+
+def _strahler_kernel(ord_ref, ordx_ref, fd_ref, fdx_ref, out_ref,
+                     c_ord, c_fd, *, bh, f, reverse):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        c_ord[...] = jnp.zeros(c_ord.shape, c_ord.dtype)
+        c_fd[...] = jnp.zeros(c_fd.shape, c_fd.dtype)
+
+    # inflow codes: the neighbor at direction d flows into us if its code
+    # is D8_INVERSE[d].  Grouped by source row relative to the sweep.
+    new_codes = (3, 4, 2) if reverse else (7, 6, 8)   # processed row
+    old_codes = (7, 6, 8) if reverse else (3, 4, 2)   # unprocessed row
+
+    def row_body(k, carry_in):
+        prev_o, prev_fd = carry_in
+        r = (bh - 1 - k) if reverse else k
+        sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        o_l = ord_ref[sl]
+        fd_l = fd_ref[sl]
+
+        ro = r - 1 if reverse else r + 1
+        in_strip = (ro >= 0) & (ro < bh)
+        rs = pl.multiple_of(jnp.clip(ro, 0, bh - 1) * f, f)
+        bd = (bh - 1) * f if reverse else 0
+        at_edge = i == n - 1
+        o_o = jnp.where(in_strip, ord_ref[pl.ds(rs, f), :],
+                        ordx_ref[pl.ds(bd, f), :])
+        fd_o = jnp.where(in_strip, fd_ref[pl.ds(rs, f), :],
+                         fdx_ref[pl.ds(bd, f), :])
+        o_o = o_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
+
+        zero = jnp.int32(0)
+        cs, cw, ce = new_codes
+        os_, ow, oe = old_codes
+        taps = [
+            jnp.where(prev_fd == cs, prev_o, zero),
+            _gshift_east(jnp.where(prev_fd == cw, prev_o, zero), zero, f),
+            _gshift_west(jnp.where(prev_fd == ce, prev_o, zero), zero, f),
+            jnp.where(fd_o == os_, o_o, zero),
+            _gshift_east(jnp.where(fd_o == ow, o_o, zero), zero, f),
+            _gshift_west(jnp.where(fd_o == oe, o_o, zero), zero, f),
+            _gshift_east(jnp.where(fd_l == 5, o_l, zero), zero, f),
+            _gshift_west(jnp.where(fd_l == 1, o_l, zero), zero, f),
+        ]
+        m = taps[0]
+        for t in taps[1:]:
+            m = jnp.maximum(m, t)
+        kcnt = jnp.zeros_like(m)
+        for t in taps:
+            kcnt = kcnt + ((t == m) & (m > 0)).astype(jnp.int32)
+        upd = jnp.where(m == 0, jnp.int32(1),
+                        jnp.where(kcnt >= 2, m + 1, m))
+        new = jnp.maximum(o_l, upd) * (o_l > 0)  # 0 stays nodata
+        out_ref[sl] = new
+        return (new, fd_l)
+
+    o_fin, fd_fin = jax.lax.fori_loop(0, bh, row_body,
+                                      (c_ord[...], c_fd[...]))
+    c_ord[...] = o_fin
+    c_fd[...] = fd_fin
+
+
+def _strahler_sweep(order, fd, f, reverse):
+    hf, L = order.shape
+    h = hf // f
+    bh = _strip_height(L * f, n_bufs=5)
+    assert h % bh == 0, (h, bh)
+    n = h // bh
+    if reverse:
+        def smap(i):
+            return n - 1 - i
+
+        def xmap(i):
+            return jnp.maximum(n - 2 - i, 0)
+    else:
+        def smap(i):
+            return i
+
+        def xmap(i):
+            return jnp.minimum(i + 1, n - 1)
+
+    def blk(m):
+        return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_strahler_kernel, bh=bh, f=f, reverse=reverse),
+        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.int32),
+        grid=(n,),
+        in_specs=[blk(smap), blk(xmap), blk(smap), blk(xmap)],
+        out_specs=blk(smap),
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.int32),
+                        pltpu.VMEM((f, L), jnp.int32)],
+    )(order, order, fd, fd)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rotations",))
+def strahler_folded(flowdirs, max_rotations=64):
+    """Strahler order via folded GS sweeps; 0 on nodata cells."""
+    fd = jnp.asarray(flowdirs)
+    h, wd = fd.shape
+    data = (fd >= 0).astype(jnp.int32)
+    fd_p = _pad_to(fd.astype(jnp.int32).clip(0), 0,
+                   mh=_FOLD_PAD, mw=_FOLD_PAD)
+    o_p = _pad_to(data, 0, mh=_FOLD_PAD, mw=_FOLD_PAD)
+    f = _F
+    fd_v = _fold(fd_p, f)
+    fd_t = _fold(_remap_codes(fd_p, _PERM_TRANSPOSE).T, f)
+    o = _fold(o_p, f)
+
+    def rotation(o):
+        o = _strahler_sweep(o, fd_v, f, reverse=False)
+        o = _strahler_sweep(o, fd_v, f, reverse=True)
+        ot = _refold_T(o, f, f)
+        ot = _strahler_sweep(ot, fd_t, f, reverse=False)
+        ot = _strahler_sweep(ot, fd_t, f, reverse=True)
+        return _fold(_unfold(ot, f).T, f)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_rotations)
+
+    def body(state):
+        o, it, _ = state
+        new = rotation(o)
+        return new, it + 1, jnp.all(new == o)
+
+    done0 = jnp.any(o != o)
+    o, _, _ = jax.lax.while_loop(cond, body, (o, jnp.int32(0), done0))
+    return _unfold(o, f)[:h, :wd]
