@@ -30,7 +30,7 @@ import numpy as np
 
 from richdem_tpu.ops.sweeps import BIG
 
-__all__ = ["out_of_core_fill"]
+__all__ = ["out_of_core_fill", "out_of_core_accum_d8"]
 
 
 def _tile_ranges(n, t):
@@ -118,3 +118,88 @@ def out_of_core_fill(dem_path, state_path=None, tile=2048, eps=0.0,
             wmm[r0:r1, :] = blk
     wmm.flush()
     return state_path
+
+
+def out_of_core_accum_d8(fd_path, weights_path=None, out_path=None,
+                         tile=2048, max_passes=64, verbose=False):
+    """D8 flow accumulation over a disk-resident flow-direction raster
+    with O(tile) memory — the ``parallel_d8_accum`` [P2] analog.
+
+    Same Schwarz structure as :func:`out_of_core_fill`: per pass, each
+    tile is re-solved exactly on device with ``weights + boundary inflow``
+    where the inflow is read from the current accumulation memmap's
+    1-cell halo (neighbor ring cells whose direction points into the
+    tile).  Inflow only grows ⇒ monotone convergence to the exact
+    topological-queue result.  Returns the output path.
+    """
+    import jax.numpy as jnp
+
+    from richdem_tpu.topology import DX, DY, D8_INVERSE
+
+    fd_mm = np.load(fd_path, mmap_mode="r")
+    h, w = fd_mm.shape
+    wt_mm = (np.load(weights_path, mmap_mode="r")
+             if weights_path is not None else None)
+    if out_path is None:
+        out_path = str(fd_path) + ".accum.npy"
+    acc = np.lib.format.open_memmap(out_path, mode="w+",
+                                    dtype=np.float32, shape=(h, w))
+    acc[:] = 0.0
+
+    rows = _tile_ranges(h, tile)
+    cols = _tile_ranges(w, tile)
+    order_f = [(ri, ci) for ri in range(len(rows))
+               for ci in (range(len(cols)) if ri % 2 == 0
+                          else range(len(cols) - 1, -1, -1))]
+    order_r = list(reversed(order_f))
+
+    def local_solve(fd_t, w_eff):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from richdem_tpu.ops.pallas_folded import d8_accumulation_gs
+            return np.asarray(d8_accumulation_gs(
+                jnp.asarray(fd_t), weights=jnp.asarray(w_eff)))
+        from richdem_tpu.ops.accum import _d8_gs_impl
+        return np.asarray(_d8_gs_impl(jnp.asarray(fd_t),
+                                      jnp.asarray(w_eff)))
+
+    for pas in range(max_passes):
+        changed = False
+        for ri, ci in (order_f if pas % 2 == 0 else order_r):
+            r0, r1 = rows[ri]
+            c0, c1 = cols[ci]
+            fd_t = np.asarray(fd_mm[r0:r1, c0:c1], np.int8)
+            wt = (np.asarray(wt_mm[r0:r1, c0:c1], np.float32)
+                  if wt_mm is not None
+                  else np.ones(fd_t.shape, np.float32))
+            wt[fd_t < 0] = 0.0
+            # boundary inflow from the ring of neighbor-tile cells whose
+            # flow direction points into this tile
+            fd_ext = np.zeros((r1 - r0 + 2, c1 - c0 + 2), np.int8)
+            acc_ext = _read_halo(acc, r0, r1, c0, c1, fill=0.0)
+            fe = fd_ext
+            rr0, rr1 = max(r0 - 1, 0), min(r1 + 1, h)
+            cc0, cc1 = max(c0 - 1, 0), min(c1 + 1, w)
+            fe[rr0 - (r0 - 1):rr1 - (r0 - 1),
+               cc0 - (c0 - 1):cc1 - (c0 - 1)] = fd_mm[rr0:rr1, cc0:cc1]
+            ring = acc_ext.copy()
+            ring[1:-1, 1:-1] = 0.0
+            th, tw = fd_t.shape
+            inflow = np.zeros((th, tw), np.float32)
+            for d in range(1, 9):
+                inv = int(D8_INVERSE[d])
+                contrib = np.where(fe == inv, ring, 0.0)
+                dy, dx = int(DY[d]), int(DX[d])
+                inflow += contrib[1 + dy:1 + dy + th, 1 + dx:1 + dx + tw]
+            new = local_solve(fd_t, wt + inflow).astype(np.float32)
+            old = acc[r0:r1, c0:c1]
+            if not np.array_equal(new, old):
+                acc[r0:r1, c0:c1] = new
+                changed = True
+        if verbose:
+            print(f"pass {pas}: changed={changed}", flush=True)
+        if not changed:
+            break
+    acc.flush()
+    return out_path

@@ -37,3 +37,32 @@ def test_tile_not_dividing_grid(tmp_path):
     out = np.load(out_of_core_fill(p, tile=33))
     want = oracle.priority_flood_fill(dem.astype(np.float64))
     np.testing.assert_allclose(out, want, rtol=0, atol=1e-5)
+
+
+def test_accum_matches_oracle(tmp_path):
+    from richdem_tpu.parallel.outofcore import out_of_core_accum_d8
+    dem = synth.perlin_dem(100, seed=4, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    fd = oracle.d8_flowdirs(filled)
+    p = str(tmp_path / "fd.npy")
+    np.save(p, fd)
+    out = np.load(out_of_core_accum_d8(p, tile=33))
+    want = oracle.d8_accumulation(fd)
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_accum_weights_nodata(tmp_path):
+    from richdem_tpu.parallel.outofcore import out_of_core_accum_d8
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(96, seed=5, dtype=np.float64),
+        no_data=-9999.0)
+    filled = oracle.priority_flood_epsilon(dem, no_data=-9999.0, eps=1e-3)
+    fd = oracle.d8_flowdirs(filled, no_data=-9999.0)
+    w = np.full(dem.shape, 2.0)
+    pf = str(tmp_path / "fd.npy")
+    pw = str(tmp_path / "w.npy")
+    np.save(pf, fd)
+    np.save(pw, w)
+    out = np.load(out_of_core_accum_d8(pf, weights_path=pw, tile=40))
+    want = oracle.d8_accumulation(fd, weights=np.where(fd < 0, 0.0, w))
+    np.testing.assert_allclose(out, want, rtol=1e-6)
