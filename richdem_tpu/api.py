@@ -160,7 +160,6 @@ def ResolveFlats(dem, in_place=False):
     znp = rd.np()
     finite = np.isfinite(znp)
     scale = float(np.max(np.abs(znp[finite]), initial=1.0))
-    max_mask = float(jnp.max(mask))
     ulp = float(np.finfo(znp.dtype if znp.dtype.kind == "f"
                          else np.float64).eps) * max(scale, 1.0)
     delta = ulp * 4.0

@@ -9,11 +9,12 @@ appendix A.6).  Two strategies, both queue-free:
   us).  ``P`` is nilpotent on the post-fill DAG, so iteration converges in
   longest-flow-path steps.  Used for multi-flow metrics and as a
   cross-check.
-* **Pointer doubling** (single-flow D8): with ``succ_k = succ^(2^k)``,
-  ``A_{k+1} = A_k + scatter_add(A_k → succ_k)`` satisfies
-  ``A_k(c) = Σ_{u: dist(u→c) < 2^k} w(u)``, reaching the full upstream sum
-  in ⌈log₂ L⌉ rounds — the TPU analog of the reference's two-pass
-  perimeter-graph design [P2], without the serial producer.
+* **Gauss–Seidel line sweeps** (the TPU fast path, Pallas kernels in
+  ``ops.pallas_folded``/``ops.pallas_mfd``): one directional sweep
+  resolves every monotone flow-path segment, so a few rotations converge
+  where Jacobi needs O(longest-path) iterations.  Pointer doubling
+  (``succ_k = succ^{2^k}``, ⌈log₂ L⌉ scatter rounds) is retained as a
+  cross-check; scatters serialize on TPU.
 """
 
 from __future__ import annotations

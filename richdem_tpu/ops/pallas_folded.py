@@ -28,8 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from richdem_tpu.ops.sweeps import BIG
-from richdem_tpu.ops.pallas_sweeps import (_PERM_FLIPUD, _PERM_TRANSPOSE,
-                                           _pad_to, _strip_height)
+from richdem_tpu.ops.pallas_sweeps import (_PERM_TRANSPOSE, _pad_to,
+                                           _strip_height)
 
 __all__ = ["fill_fixpoint_folded", "d8_accumulation_folded"]
 

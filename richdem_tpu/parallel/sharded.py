@@ -10,9 +10,9 @@ The distribution recipe (SURVEY.md §5.7, recasting [P1]'s tile algorithm):
   the extended block (halo ring clamped as boundary data), and reduces a
   global changed-flag with ``psum``.  Monotone ⇒ converges to the same
   least fixpoint as the serial algorithm, in O(mesh diameter) outer steps;
-* **D8 accumulation**: the pointer-doubling kernel runs under plain ``jit``
-  on sharded arrays — XLA GSPMD partitions the gathers/scatters (a
-  perimeter-graph two-pass fast path per [P2] is the planned upgrade).
+* **D8 accumulation**: block-Schwarz like the fill — halo boundary-inflow
+  exchange + exact local GS solves + psum convergence (the on-device
+  recast of [P2]'s two-pass tile design).
 """
 
 from __future__ import annotations
