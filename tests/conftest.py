@@ -5,7 +5,12 @@ tested single-machine, as the reference does with mpirun -n N on one box)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+#: RICHDEM_TPU_TEST_TPU=1 leaves the real backend in place so the
+#: TPU-only gates (tests/test_tpu_only.py) can run against hardware.
+_USE_TPU = os.environ.get("RICHDEM_TPU_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,11 +20,13 @@ import jax  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) overrides the JAX_PLATFORMS env var;
 # forcing the config AFTER import reliably selects the 8-device CPU platform.
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 # Allow float64 fidelity when comparing device ops against the float64
 # oracle (ops remain dtype-explicit; the TPU path uses float32).
-jax.config.update("jax_enable_x64", True)
+if not _USE_TPU:
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
