@@ -31,7 +31,7 @@ from richdem_tpu import ops
 from richdem_tpu import methods as _methods
 from richdem_tpu.oracle import breach as _breach_oracle
 from richdem_tpu.provenance import add_history, cite
-from richdem_tpu.topology import NO_FLOW, FLOWDIR_NO_DATA
+from richdem_tpu.topology import FLOWDIR_NO_DATA
 
 __all__ = [
     "rdarray", "rd3array", "LoadGDAL", "SaveGDAL", "FillDepressions",

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from richdem_tpu.ops.pallas_sweeps import (_pad_to, _shift_east,
                                            _shift_west, _strip_height)
-from richdem_tpu.topology import DR, NO_FLOW, FLOWDIR_NO_DATA
+from richdem_tpu.topology import FLOWDIR_NO_DATA
 
 __all__ = ["d8_flowdirs_pallas"]
 

@@ -15,8 +15,6 @@ cross-checks) the pure-XLA ops run the same math.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
