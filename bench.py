@@ -33,11 +33,13 @@ def measure_cpu_baseline(terrain_fn, n=1024):
         if not native.available():
             return BASELINE_CPU_PIPELINE
         dem = np.asarray(terrain_fn(n), dtype=np.float64)
-        t0 = time.perf_counter()
-        acc = native.accum_d8(native.d8_flowdirs(native.fill(dem)))
-        dt = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):  # the host is noisy; best-of-3 is conservative
+            t0 = time.perf_counter()
+            acc = native.accum_d8(native.d8_flowdirs(native.fill(dem)))
+            best = min(best, time.perf_counter() - t0)
         assert acc.sum() > 0
-        return n * n / dt
+        return n * n / best
     except Exception:
         return BASELINE_CPU_PIPELINE
 
