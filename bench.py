@@ -1,7 +1,7 @@
 """Benchmark driver: grid-points/s for the fill→flowdir→accum pipeline.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 ``vs_baseline`` is the speedup over a single-core C++ implementation of the
 same fill→flowdir→accum pipeline (richdem_tpu/native/core.cpp — the same
@@ -11,8 +11,16 @@ native engine is unavailable the paper-era constant ≈5 M cells/s is used
 (BASELINE.md; the measured value on this host is ≈5-6 M cells/s, so the two
 agree).  The >10× target of BASELINE.json corresponds to vs_baseline > 10.
 
+``roofline_pct`` (pipeline config) is the HBM-bandwidth roofline fraction:
+bytes-moved (from the per-kernel traffic model below, using the REAL
+iteration counts the run reports) divided by device time and by the chip's
+HBM bandwidth (BENCH_HBM_GBPS, default 819 GB/s for TPU v5e).  Device time
+excludes the measured axon-tunnel sync floor (~27 ms per host round-trip,
+reported separately as ``sync_floor_s`` — tunnel overhead, not kernel time).
+
 Env knobs: BENCH_SIZE (grid edge, default 8192 on TPU / 1024 on CPU),
-BENCH_REPS (default 5), BENCH_TERRAIN (perlin|cone|depressions).
+BENCH_REPS (default 5), BENCH_TERRAIN (perlin|cone|depressions),
+BENCH_CONFIG (pipeline|fill_flats|dinf_twi), BENCH_HBM_GBPS.
 """
 
 import json
@@ -24,6 +32,9 @@ import numpy as np
 
 #: Fallback single-core CPU grid-points/s for fill+flowdir+accum.
 BASELINE_CPU_PIPELINE = 5.0e6
+
+#: TPU v5e (v5 lite) HBM bandwidth, GB/s.
+HBM_GBPS_DEFAULT = 819.0
 
 
 def measure_cpu_baseline(terrain_fn, n=1024):
@@ -44,6 +55,47 @@ def measure_cpu_baseline(terrain_fn, n=1024):
         return BASELINE_CPU_PIPELINE
 
 
+def measure_sync_floor(jax, reps=5):
+    """Fixed host-round-trip latency of the axon tunnel (block_until_ready
+    does not block on this backend; a scalar materialization is the only
+    honest fence — and it costs a fixed ~27 ms regardless of work)."""
+    import jax.numpy as jnp
+    x = jnp.zeros((8, 128), jnp.float32) + 1.0
+    float(x.sum())  # warm the dispatch path
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(x.sum())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def pipeline_bytes_model(size, fill_rot, accum_rot, multiscale):
+    """HBM bytes moved by one pipeline step (folded Pallas kernels).
+
+    Per padded cell (f32 = 4 B; padded to 1024 multiples at ≥2048):
+      fill rotation  = 4 sweeps × (read W + read floor + write W) 12 B
+                       + 2 transpose refolds × 8 B + convergence eq 8 B
+                     = 72 B
+      warm start     ≈ read z + write w0 = 8 B (coarse grid is 1/64 n)
+      fill setup     = build floor_p + w0 ≈ 16 B
+      D8 stencil     = read filled + write fd + pad copies ≈ 16 B
+      accum rotation = 4 sweeps × (w + fd + fd_adj + acc_in + acc_adj
+                       + acc_out) 24 B + 2 transpose refolds × 8 B
+                       + convergence eq 8 B = 120 B
+      accum setup    = fd remap/transpose + w_p ≈ 24 B
+    The adjacent-strip blocks (fd_adj/acc_adj) are full re-reads — the
+    BlockSpec index_map DMAs the whole neighbor strip — so they count.
+    """
+    pad = 1024 if size >= 2048 else 256
+    pc = ((size + pad - 1) // pad) * pad
+    padded = pc * pc
+    per_cell = (fill_rot * 72 + (8 if multiscale else 0) + 16
+                + 16
+                + accum_rot * 120 + 24)
+    return padded * per_cell
+
+
 def main():
     import jax
 
@@ -52,6 +104,7 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", default_size))
     reps = int(os.environ.get("BENCH_REPS", 5))
     terrain = os.environ.get("BENCH_TERRAIN", "perlin")
+    hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", HBM_GBPS_DEFAULT))
 
     # Terrain is generated ON DEVICE (synth_jax): the build host's memory
     # bandwidth is pathologically low (~0.1-0.5 GB/s measured), so host-side
@@ -72,6 +125,7 @@ def main():
     #   dinf_twi            — config 4: D∞ routing + accumulation + TWI
     config = os.environ.get("BENCH_CONFIG", "pipeline")
     label = "fill+flowdir+accum"
+    iter_info = {}
 
     if config == "pipeline":
         step = make_pipeline(z.shape, eps=eps, fill_iters=256)
@@ -82,13 +136,19 @@ def main():
             # backend, block_until_ready() returns before execution
             # finishes, so a materialized value is the only honest fence.
             return float(out["accum"].sum())
+
+        out0 = step(z)
+        iter_info = {"fill_iters": int(out0["fill_iters"]),
+                     "accum_rotations": int(out0["accum_rotations"])}
     elif config == "fill_flats":
-        import jax.numpy as jnp
         from richdem_tpu import ops
         from richdem_tpu.ops.flats import resolve_flats
         from richdem_tpu.ops.fill import auto_epsilon
         label = "epsilon-fill+flat-resolution"
-        eps_v = auto_epsilon(np.asarray(z[::64, ::64]))
+        # auto_epsilon on the DEVICE raster: the scale reduction runs on
+        # chip and the diameter headroom term sees the REAL grid shape
+        # (a subsampled host copy would undersize eps ~2× — ADVICE r1).
+        eps_v = auto_epsilon(z)
 
         @jax.jit
         def step(z):
@@ -137,6 +197,20 @@ def main():
         "unit": "cells/s",
         "vs_baseline": round(cells_per_s / baseline, 3),
     }
+    if config == "pipeline" and platform != "cpu":
+        sync = measure_sync_floor(jax)
+        dev_t = max(best - sync, 1e-9)
+        nbytes = pipeline_bytes_model(size,
+                                      iter_info.get("fill_iters", 0),
+                                      iter_info.get("accum_rotations", 0),
+                                      multiscale=size >= 4096)
+        result.update(
+            sync_floor_s=round(sync, 4),
+            time_s=round(best, 4),
+            roofline_pct=round(100.0 * nbytes / dev_t / (hbm_gbps * 1e9),
+                               1),
+            **iter_info,
+        )
     print(json.dumps(result))
     return result
 

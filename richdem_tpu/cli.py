@@ -185,12 +185,15 @@ def cmd_pipeline(args):
     else:
         from richdem_tpu.pipeline import terrain_pipeline
         out = terrain_pipeline(r.np(), eps=args.eps_value,
-                               with_twi=args.twi)
+                               with_twi=args.twi, no_data=r.no_data)
     base = args.output
     for key, arr in out.items():
+        arr = np.asarray(arr)
+        if arr.ndim != 2:  # iteration-count scalars etc.
+            continue
         path = base.replace("%s", key) if "%s" in base else \
             f"{base}.{key}.npz"
-        _save(path, r.like(np.asarray(arr)))
+        _save(path, r.like(arr))
 
 
 def cmd_synth(args):

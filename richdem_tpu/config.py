@@ -55,6 +55,15 @@ class PipelineConfig:
         """Execute the configured pipeline; returns a dict of rasters."""
         import numpy as np
 
+        # Resolve eps ONCE for every branch: None = auto (ulp-scaled to
+        # the DEM); any explicit value — including 0.0 (plain fill) —
+        # passes through unchanged.
+        if self.eps is None:
+            from richdem_tpu.ops.fill import auto_epsilon
+            eps = auto_epsilon(np.asarray(dem))
+        else:
+            eps = float(self.eps)
+
         if self.metric.lower() not in ("d8",):
             # generic path through the public API
             import richdem_tpu as rd
@@ -62,8 +71,7 @@ class PipelineConfig:
             arr = rd.rdarray(np.asarray(dem), no_data=no_data,
                              geotransform=(0, self.cellsize, 0, 0, 0,
                                            -self.cellsize))
-            eps = True if self.eps is None else (self.eps or False)
-            filled = rd.FillDepressions(arr, epsilon=eps)
+            filled = rd.FillDepressions(arr, epsilon=eps if eps else False)
             acc = rd.FlowAccumulation(filled, method=self.metric,
                                       exponent=self.exponent)
             out = {"filled": np.asarray(filled), "accum": np.asarray(acc)}
@@ -76,21 +84,27 @@ class PipelineConfig:
             from richdem_tpu.parallel import make_mesh, sharded_pipeline
 
             mesh = make_mesh(shape=self.mesh)
-            return sharded_pipeline(dem, mesh=mesh,
-                                    eps=self.eps or 0.0,
+            from richdem_tpu.ops.stencil import nodata_like
+            import jax.numpy as jnp
+            nd_mask = (None if no_data is None
+                       else nodata_like(jnp.asarray(np.asarray(dem)),
+                                        no_data))
+            return sharded_pipeline(dem, mesh=mesh, eps=eps,
+                                    nodata_mask=nd_mask,
                                     cellsize=self.cellsize)
         if self.cache_dir:
             from richdem_tpu.pipeline import resumable_pipeline
 
             return resumable_pipeline(dem, self.cache_dir,
                                       grid_id=self.grid_id,
-                                      eps=self.eps or 0.0,
+                                      eps=eps,
                                       cellsize=self.cellsize,
                                       with_twi=self.with_twi,
                                       no_data=no_data)
         from richdem_tpu.pipeline import terrain_pipeline
 
-        return terrain_pipeline(dem, eps=self.eps or 0.0,
+        return terrain_pipeline(dem, eps=eps,
                                 cellsize=self.cellsize,
                                 fill_iters=self.fill_iters,
-                                with_twi=self.with_twi)
+                                with_twi=self.with_twi,
+                                no_data=no_data)

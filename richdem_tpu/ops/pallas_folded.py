@@ -34,7 +34,8 @@ from richdem_tpu.ops.pallas_sweeps import (_PERM_TRANSPOSE, _pad_to,
 __all__ = ["fill_fixpoint_folded", "d8_accumulation_folded"]
 
 #: below this edge length the unfolded kernels (256-pad) win — folding
-#: pads both dims to 1024 multiples.
+#: pads both dims to 1024 multiples.  Overridable per call (``fold_min=``)
+#: so tests can exercise the folded path in interpret mode at small sizes.
 _FOLD_MIN = 2048
 
 
@@ -43,6 +44,45 @@ _FOLD_MIN = 2048
 #: are padded to multiples of 8·128 = 1024 and groups start at r·8.
 _F = 8
 _FOLD_PAD = _F * 128
+
+#: Edge length at which the multigrid warm start pays for itself
+#: (one coarse rotation set ≈ 1/64 the cost of a fine rotation).
+#: Overridable per call (``multiscale_min=``) for interpret-mode tests.
+_MULTISCALE_MIN = 4096
+
+
+#: test hook: when set (int), caps the folded strip height so interpret-
+#: mode tests get multiple strips (and thus exercise the seam/carry and
+#: index-mapped adjacent-strip logic) on small grids.  Read at trace time;
+#: tests that set it use unique shapes/static args and clear jit caches.
+_STRIP_CAP = None
+
+
+def _fold_strip_height(h: int, width: int, n_bufs: int) -> int:
+    """Strip height for a folded sweep: the VMEM-budget power of two,
+    clamped/halved so it divides the padded row count ``h`` (small padded
+    grids in interpret-mode tests have h below the 256-row budget cap)."""
+    bh = _strip_height(width, n_bufs)
+    if _STRIP_CAP is not None:
+        bh = min(bh, _STRIP_CAP)
+    bh = min(bh, h)
+    while h % bh:
+        bh //= 2
+    return bh
+
+
+def _require_converged(done, what, cap):
+    """Raise on a concrete unconverged fixpoint — silently returning a
+    truncated accumulation is a correctness bug (caught by the 2048² MFD
+    native gate: Quinn at that size needs ~101 GS rotations).  Inside jit
+    the flag is a tracer and the cap must be sized by the caller; the
+    production caps are validated by tests/test_tpu_only.py."""
+    if isinstance(done, jax.core.Tracer):
+        return
+    if not bool(done):
+        raise RuntimeError(
+            f"{what} did not converge within {cap} GS rotations; "
+            "pass a larger max_rotations")
 
 
 def _fold(x, f):
@@ -121,8 +161,7 @@ def _fill_kernel(eps_ref, w_ref, floor_ref, out_ref, carry, *, bh, f,
 def _fill_sweep(w, floor, eps2, f, reverse):
     hf, L = w.shape
     h = hf // f
-    bh = _strip_height(L * f, n_bufs=3)
-    assert h % bh == 0, (h, bh)
+    bh = _fold_strip_height(h, L * f, n_bufs=3)
     n = h // bh
     if reverse:
         def imap(i, eps):
@@ -150,7 +189,8 @@ def _refold_T(x_folded, f_from, f_to):
     return _fold(_unfold(x_folded, f_from).T, f_to)
 
 
-def _coarse_warm_start(zed, eps, factor=8, max_iters=256):
+def _coarse_warm_start(zed, eps, factor=8, max_iters=256, fold_min=None,
+                       fold_pad=None):
     """Multigrid upper bound: plain-fill the block-max-pooled DEM and
     upsample.  Any coarse drainage path expands to a fine path with
     smaller maxima (blocks are internally connected and block-max ≥ every
@@ -165,51 +205,27 @@ def _coarse_warm_start(zed, eps, factor=8, max_iters=256):
     zc = jax.lax.reduce_window(zp, -jnp.inf, jax.lax.max,
                                (factor, factor), (factor, factor), "VALID")
     wc, _, _ = fill_fixpoint_folded(zc, eps=eps * (2.0 * factor * factor),
-                                    max_iters=max_iters)
+                                    max_iters=max_iters, multiscale=False,
+                                    fold_min=fold_min, fold_pad=fold_pad)
     up = jnp.repeat(jnp.repeat(wc, factor, axis=0), factor, axis=1)
     return jnp.maximum(up[:h, :w], zed)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "check_every",
-                                             "multiscale"))
-def fill_fixpoint_folded(z, nodata_mask=None, eps=0.0, eps_diag=None,
-                         max_iters=256, check_every=1, w0=None,
-                         multiscale=True):
-    """Drop-in for ``pallas_sweeps.fill_fixpoint_pallas`` (same fixpoint,
-    same (filled, iters, converged) contract), ~3× faster sweeps; large
-    grids start from a multigrid upper bound (one coarse rotation set at
-    1/64 the cost replaces 1+ fine rotations and bounds the iteration
-    count by the coarse topology, not the fine one)."""
-    z32 = jnp.asarray(z, jnp.float32)
+                                             "fold_pad"))
+def _fill_folded_impl(z32, nodata_mask, w0, eps2, *, max_iters,
+                      check_every, fold_pad):
     h, wd = z32.shape
-    if max(h, wd) < _FOLD_MIN:
-        from richdem_tpu.ops import pallas_sweeps
-        return pallas_sweeps.fill_fixpoint_pallas(
-            z, nodata_mask, eps=eps, eps_diag=eps_diag,
-            max_iters=max_iters, check_every=check_every, w0=w0)
-    if nodata_mask is None:
-        nodata_mask = jnp.zeros(z32.shape, bool)
-    if (w0 is None and multiscale and eps_diag is None
-            and max(h, wd) >= 4096):
-        zed = jnp.where(nodata_mask, jnp.float32(-BIG), z32)
-        w0 = _coarse_warm_start(zed, jnp.asarray(eps, jnp.float32))
     neg = jnp.float32(-BIG)
     floor = jnp.where(nodata_mask, neg, z32)
-    if w0 is None:
-        w0 = jnp.where(nodata_mask, neg, jnp.float32(BIG))
-    else:
-        w0 = jnp.where(nodata_mask, neg, jnp.asarray(w0, jnp.float32))
+    w0 = jnp.where(nodata_mask, neg, w0)
 
-    floor_p = _pad_to(floor, -BIG, mh=_FOLD_PAD, mw=_FOLD_PAD)
-    w_p = _pad_to(w0, -BIG, mh=_FOLD_PAD, mw=_FOLD_PAD)
-    hp, wp = w_p.shape
+    floor_p = _pad_to(floor, -BIG, mh=fold_pad, mw=fold_pad)
+    w_p = _pad_to(w0, -BIG, mh=fold_pad, mw=fold_pad)
     f_v = f_t = _F
     floor_v = _fold(floor_p, f_v)
     floor_t = _fold(floor_p.T, f_t)
     wv = _fold(w_p, f_v)
-    eps = jnp.asarray(eps, jnp.float32)
-    eps_d = eps if eps_diag is None else jnp.asarray(eps_diag, jnp.float32)
-    eps2 = jnp.stack([eps, eps_d])
 
     def rotation(wv):
         wv = _fill_sweep(wv, floor_v, eps2, f_v, reverse=False)
@@ -235,6 +251,49 @@ def fill_fixpoint_folded(z, nodata_mask=None, eps=0.0, eps_diag=None,
                                          (wv, jnp.int32(0), done0))
     filled = _unfold(wv, f_v)[:h, :wd]
     return jnp.where(nodata_mask, z32, filled), iters, done
+
+
+def fill_fixpoint_folded(z, nodata_mask=None, eps=0.0, eps_diag=None,
+                         max_iters=256, check_every=1, w0=None,
+                         multiscale=True, fold_min=None, fold_pad=None,
+                         multiscale_min=None):
+    """Drop-in for ``pallas_sweeps.fill_fixpoint_pallas`` (same fixpoint,
+    same (filled, iters, converged) contract), ~3× faster sweeps; large
+    grids start from a multigrid upper bound (one coarse rotation set at
+    1/64 the cost replaces 1+ fine rotations and bounds the iteration
+    count by the coarse topology, not the fine one).
+
+    ``fold_min``/``fold_pad``/``multiscale_min`` override the production
+    dispatch thresholds (module defaults) so tests can run the folded
+    kernels and the multigrid path in interpret mode at small sizes."""
+    z32 = jnp.asarray(z, jnp.float32)
+    h, wd = z32.shape
+    fmin = _FOLD_MIN if fold_min is None else fold_min
+    fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    msmin = _MULTISCALE_MIN if multiscale_min is None else multiscale_min
+    if max(h, wd) < fmin:
+        from richdem_tpu.ops import pallas_sweeps
+        return pallas_sweeps.fill_fixpoint_pallas(
+            z, nodata_mask, eps=eps, eps_diag=eps_diag,
+            max_iters=max_iters, check_every=check_every, w0=w0)
+    if nodata_mask is None:
+        nodata_mask = jnp.zeros(z32.shape, bool)
+    else:
+        nodata_mask = jnp.asarray(nodata_mask)
+    eps = jnp.asarray(eps, jnp.float32)
+    if (w0 is None and multiscale and eps_diag is None
+            and max(h, wd) >= msmin):
+        zed = jnp.where(nodata_mask, jnp.float32(-BIG), z32)
+        w0 = _coarse_warm_start(zed, eps, fold_min=fmin, fold_pad=fpad)
+    if w0 is None:
+        w0 = jnp.full(z32.shape, jnp.float32(BIG))
+    else:
+        w0 = jnp.asarray(w0, jnp.float32)
+    eps_d = eps if eps_diag is None else jnp.asarray(eps_diag, jnp.float32)
+    eps2 = jnp.stack([eps, eps_d])
+    return _fill_folded_impl(z32, nodata_mask, w0, eps2,
+                             max_iters=max_iters, check_every=check_every,
+                             fold_pad=fpad)
 
 
 # ---------------------------------------------------------------------------
@@ -310,8 +369,7 @@ def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
 def _accum_sweep(acc, w, fd, f, reverse):
     hf, L = acc.shape
     h = hf // f
-    bh = _strip_height(L * f, n_bufs=6)
-    assert h % bh == 0, (h, bh)
+    bh = _fold_strip_height(h, L * f, n_bufs=6)
     n = h // bh
     if reverse:
         def smap(i):
@@ -346,13 +404,13 @@ def _remap_codes(fd, perm):
     return table[fd.clip(0)]
 
 
-@functools.partial(jax.jit, static_argnames=("max_rotations",))
-def _accum_folded_impl(fd, weights, max_rotations):
+@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
+def _accum_folded_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
     h, wd = fd.shape
     fd_p = _pad_to(jnp.asarray(fd, jnp.int32).clip(0), 0,
-                   mh=_FOLD_PAD, mw=_FOLD_PAD)
+                   mh=fold_pad, mw=fold_pad)
     w_p = _pad_to(jnp.asarray(weights, jnp.float32), 0.0,
-                  mh=_FOLD_PAD, mw=_FOLD_PAD)
+                  mh=fold_pad, mw=fold_pad)
     hp, wp = fd_p.shape
     f_v = f_t = _F
     fd_v = _fold(fd_p, f_v)
@@ -384,25 +442,34 @@ def _accum_folded_impl(fd, weights, max_rotations):
 
 
 def d8_accumulation_folded(flowdirs, weights=None, no_data_mask=None,
-                           max_rotations=64):
+                           max_rotations=64, fold_min=None, fold_pad=None,
+                           return_info=False):
     """Drop-in for ``pallas_sweeps.d8_accumulation_gs`` (exact D8
-    accumulation), folded-row kernels."""
+    accumulation), folded-row kernels.  ``fold_min``/``fold_pad`` override
+    the dispatch thresholds for interpret-mode tests; ``return_info``
+    additionally returns ``(rotations, converged)`` (roofline accounting)."""
     fd = jnp.asarray(flowdirs)
     h, wd = fd.shape
-    if max(h, wd) < _FOLD_MIN:
+    fmin = _FOLD_MIN if fold_min is None else fold_min
+    fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    if max(h, wd) < fmin:
         from richdem_tpu.ops import pallas_sweeps
         return pallas_sweeps.d8_accumulation_gs(
             flowdirs, weights=weights, no_data_mask=no_data_mask,
-            max_rotations=max_rotations)
+            max_rotations=max_rotations, return_info=return_info)
     if weights is None:
         weights = jnp.ones((h, wd), jnp.float32)
     else:
         weights = jnp.asarray(weights, jnp.float32)
     if no_data_mask is not None:
         weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
-    acc, _, _ = _accum_folded_impl(fd, weights, max_rotations)
+    acc, iters, done = _accum_folded_impl(fd, weights, max_rotations,
+                                          fold_pad=fpad)
+    _require_converged(done, "folded D8 accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
     return acc
 
 
@@ -471,8 +538,7 @@ def _resolve_kernel(v_ref, vx_ref, fd_ref, fdx_ref, pin_ref, out_ref,
 def _resolve_sweep(v, fd, pin, f, reverse):
     hf, L = v.shape
     h = hf // f
-    bh = _strip_height(L * f, n_bufs=6)
-    assert h % bh == 0, (h, bh)
+    bh = _fold_strip_height(h, L * f, n_bufs=6)
     n = h // bh
     if reverse:
         def smap(i):
@@ -501,19 +567,20 @@ def _resolve_sweep(v, fd, pin, f, reverse):
     )(v, v, fd, fd, pin)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rotations",))
-def successor_resolve_folded(flowdirs, init, pinned, max_rotations=64):
+@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
+def successor_resolve_folded(flowdirs, init, pinned, max_rotations=64,
+                             fold_pad=_FOLD_PAD):
     """Iterate ``V(c) ← V(successor(c))`` (pinned cells fixed) to the
     fixpoint; int32 values.  Used for watershed labels and upslope masks.
     """
     fd = jnp.asarray(flowdirs)
     h, wd = fd.shape
     fd_p = _pad_to(fd.astype(jnp.int32).clip(0), 0,
-                   mh=_FOLD_PAD, mw=_FOLD_PAD)
+                   mh=fold_pad, mw=fold_pad)
     v_p = _pad_to(jnp.asarray(init, jnp.int32), -1,
-                  mh=_FOLD_PAD, mw=_FOLD_PAD)
+                  mh=fold_pad, mw=fold_pad)
     pin_p = _pad_to(jnp.asarray(pinned, jnp.int32), 1,
-                    mh=_FOLD_PAD, mw=_FOLD_PAD)
+                    mh=fold_pad, mw=fold_pad)
     f = _F
     fd_v = _fold(fd_p, f)
     fd_t = _fold(_remap_codes(fd_p, _PERM_TRANSPOSE).T, f)
@@ -620,8 +687,7 @@ def _strahler_kernel(ord_ref, ordx_ref, fd_ref, fdx_ref, out_ref,
 def _strahler_sweep(order, fd, f, reverse):
     hf, L = order.shape
     h = hf // f
-    bh = _strip_height(L * f, n_bufs=5)
-    assert h % bh == 0, (h, bh)
+    bh = _fold_strip_height(h, L * f, n_bufs=5)
     n = h // bh
     if reverse:
         def smap(i):
@@ -651,15 +717,15 @@ def _strahler_sweep(order, fd, f, reverse):
     )(order, order, fd, fd)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rotations",))
-def strahler_folded(flowdirs, max_rotations=64):
+@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
+def strahler_folded(flowdirs, max_rotations=64, fold_pad=_FOLD_PAD):
     """Strahler order via folded GS sweeps; 0 on nodata cells."""
     fd = jnp.asarray(flowdirs)
     h, wd = fd.shape
     data = (fd >= 0).astype(jnp.int32)
     fd_p = _pad_to(fd.astype(jnp.int32).clip(0), 0,
-                   mh=_FOLD_PAD, mw=_FOLD_PAD)
-    o_p = _pad_to(data, 0, mh=_FOLD_PAD, mw=_FOLD_PAD)
+                   mh=fold_pad, mw=fold_pad)
+    o_p = _pad_to(data, 0, mh=fold_pad, mw=fold_pad)
     f = _F
     fd_v = _fold(fd_p, f)
     fd_t = _fold(_remap_codes(fd_p, _PERM_TRANSPOSE).T, f)

@@ -32,9 +32,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from richdem_tpu.ops.pallas_folded import (_F, _FOLD_PAD, _fold,
+from richdem_tpu.ops.pallas_folded import (_F, _FOLD_MIN, _FOLD_PAD, _fold,
+                                           _fold_strip_height,
                                            _gshift_east, _gshift_west,
-                                           _unfold)
+                                           _require_converged, _unfold)
 from richdem_tpu.ops.pallas_sweeps import (_pad_to, _shift_east,
                                            _shift_west, _strip_height)
 
@@ -120,8 +121,7 @@ def _mfd_sweep(acc, w, props8, f, reverse):
     """One directional sweep; ``props8``: (8, H·f, W/f) folded planes."""
     hf, L = acc.shape
     h = hf // f
-    bh = _strip_height(L * f, n_bufs=15)
-    assert h % bh == 0, (h, bh)
+    bh = _fold_strip_height(h, L * f, n_bufs=15)
     n = h // bh
 
     if not reverse:
@@ -168,15 +168,15 @@ def _refold_T(x, f):
     return _fold(_unfold(x, f).T, f)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rotations",))
-def _mfd_gs_impl(props8, weights, max_rotations):
+@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
+def _mfd_gs_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
     h, wd = weights.shape
     f = _F
     props_p = jnp.stack([
-        _fold(_pad_to(props8[d], 0.0, mh=_FOLD_PAD, mw=_FOLD_PAD), f)
+        _fold(_pad_to(props8[d], 0.0, mh=fold_pad, mw=fold_pad), f)
         for d in range(8)])
     w_p = _pad_to(jnp.asarray(weights, jnp.float32), 0.0,
-                  mh=_FOLD_PAD, mw=_FOLD_PAD)
+                  mh=fold_pad, mw=fold_pad)
     # transposed planes: plane d' = PERM_TRANSPOSE[d], spatially transposed
     idx = np.array([_PERM_TRANSPOSE[d] - 1 for d in range(1, 9)])
     props_t = jnp.stack([
@@ -208,10 +208,16 @@ def _mfd_gs_impl(props8, weights, max_rotations):
 
 
 def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
-                        max_rotations=64):
+                        max_rotations=512, fold_min=None, fold_pad=None):
     """Weighted upstream accumulation from (H, W, 8) proportions — Pallas
     GS line sweeps (exact; same result as the oracle's topological queue).
-    """
+    ``fold_min``/``fold_pad`` override the folded-kernel dispatch
+    thresholds for interpret-mode tests.
+
+    The default rotation cap is deliberately high: dispersive metrics
+    (Quinn) need ~100 rotations at 2048² where D∞ needs ~11 — the loop
+    exits at convergence, so a high cap only costs when it's needed,
+    and an exceeded cap raises instead of silently truncating."""
     props = jnp.asarray(props)
     h, wd = props.shape[:2]
     props8 = jnp.moveaxis(props.astype(jnp.float32), -1, 0)
@@ -221,9 +227,14 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
         weights = jnp.asarray(weights, jnp.float32)
     if no_data_mask is not None:
         weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
-    impl = (_mfd_gs_impl if max(h, wd) >= _FOLD_MIN
-            else _mfd_gs_impl_small)
-    acc, _, _ = impl(props8, weights, max_rotations)
+    fmin = _FOLD_MIN if fold_min is None else fold_min
+    if max(h, wd) >= fmin:
+        fpad = _FOLD_PAD if fold_pad is None else fold_pad
+        acc, _, done = _mfd_gs_impl(props8, weights, max_rotations,
+                                    fold_pad=fpad)
+    else:
+        acc, _, done = _mfd_gs_impl_small(props8, weights, max_rotations)
+    _require_converged(done, "MFD accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
     return acc
@@ -233,8 +244,6 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
 # Unfolded variant for small grids (folding pads to 1024 multiples, which
 # is wasteful below ~2k and prohibitive in interpret-mode tests)
 # ---------------------------------------------------------------------------
-
-_FOLD_MIN = 2048
 
 def _mfd_kernel_small(acc_ref, accx_ref, w_ref,
                 p1, p2, p3, p4, p5, p6, p7, p8,

@@ -332,7 +332,7 @@ def _accum_gs_pallas_impl(fd, weights, max_rotations):
 
 
 def d8_accumulation_gs(flowdirs, weights=None, no_data_mask=None,
-                       max_rotations=64):
+                       max_rotations=64, return_info=False):
     """Exact D8 accumulation via Pallas GS line sweeps (TPU fast path).
 
     Same result as the oracle's topological queue; converges in a few
@@ -346,9 +346,13 @@ def d8_accumulation_gs(flowdirs, weights=None, no_data_mask=None,
         weights = jnp.asarray(weights, jnp.float32)
     if no_data_mask is not None:
         weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
-    acc, _, _ = _accum_gs_pallas_impl(fd, weights, max_rotations)
+    acc, iters, done = _accum_gs_pallas_impl(fd, weights, max_rotations)
+    from richdem_tpu.ops.pallas_folded import _require_converged
+    _require_converged(done, "D8 GS accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
     return acc
 
 

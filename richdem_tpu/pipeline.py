@@ -33,39 +33,44 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pipeline_xla(z, eps, cellsize, fill_iters, rounds, with_twi):
-    nodata = jnp.zeros(z.shape, bool)
+def _pipeline_xla(z, nodata, eps, cellsize, fill_iters, rounds):
     neg = jnp.asarray(-BIG, z.dtype)
-    filled, _, _ = minplus_fixpoint_core(
-        jnp.full(z.shape, BIG, z.dtype), z, jnp.asarray(eps, z.dtype),
+    floor = jnp.where(nodata, neg, z)
+    w0 = jnp.where(nodata, neg, jnp.asarray(BIG, z.dtype))
+    filled, fiters, _ = minplus_fixpoint_core(
+        w0, floor, jnp.asarray(eps, z.dtype),
         boundary=neg, max_iters=fill_iters)
+    filled = jnp.where(nodata, z, filled)
     fd = d8_core(filled, nodata, jnp.asarray(cellsize, jnp.float32))
-    acc = _d8_gs_impl(fd, jnp.ones(z.shape, jnp.float32),
-                      max_rotations=rounds)
-    return filled, fd, acc, nodata
+    weights = jnp.where(nodata, 0.0, 1.0).astype(jnp.float32)
+    acc = _d8_gs_impl(fd, weights, max_rotations=rounds)
+    return filled, fd, jnp.where(nodata, 0.0, acc), fiters, jnp.int32(rounds)
 
 
-def _pipeline_pallas(z, eps, cellsize, fill_iters, rounds):
+def _pipeline_pallas(z, nodata, eps, cellsize, fill_iters, rounds):
     from richdem_tpu.ops.pallas_folded import (fill_fixpoint_pallas,
                                                d8_accumulation_gs)
-    from richdem_tpu.ops.pallas_stencils import d8_flowdirs_pallas
+    from richdem_tpu.ops.pallas_stencils import _d8_impl
 
-    nodata = jnp.zeros(z.shape, bool)
-    filled, _, _ = fill_fixpoint_pallas(z, eps=eps, max_iters=fill_iters)
-    fd = d8_flowdirs_pallas(filled, cellsize=cellsize)
-    acc = d8_accumulation_gs(fd, max_rotations=rounds)
-    return filled, fd, acc, nodata
+    filled, fiters, _ = fill_fixpoint_pallas(z, nodata, eps=eps,
+                                             max_iters=fill_iters)
+    fd = _d8_impl(filled, nodata, jnp.asarray(cellsize, jnp.float32),
+                  False)
+    acc, aiters, _ = d8_accumulation_gs(fd, no_data_mask=nodata,
+                                        max_rotations=rounds,
+                                        return_info=True)
+    return filled, fd, acc, fiters, aiters
 
 
-def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
+def _pipeline(z, nodata, eps, cellsize, fill_iters, rounds, with_twi):
     if _use_pallas():
-        filled, fd, acc, nodata = _pipeline_pallas(z, eps, cellsize,
-                                                   fill_iters, rounds)
+        filled, fd, acc, fiters, aiters = _pipeline_pallas(
+            z, nodata, eps, cellsize, fill_iters, rounds)
     else:
-        filled, fd, acc, nodata = _pipeline_xla(z, eps, cellsize,
-                                                fill_iters, rounds,
-                                                with_twi)
-    out = {"filled": filled, "flowdirs": fd, "accum": acc}
+        filled, fd, acc, fiters, aiters = _pipeline_xla(
+            z, nodata, eps, cellsize, fill_iters, rounds)
+    out = {"filled": filled, "flowdirs": fd, "accum": acc,
+           "fill_iters": fiters, "accum_rotations": aiters}
     if with_twi:
         slope = terrain_core(filled, nodata,
                              jnp.asarray(1.0, jnp.float32),
@@ -77,8 +82,14 @@ def _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi):
 
 
 def make_pipeline(shape, eps=1e-3, cellsize=1.0, fill_iters=256,
-                  with_twi=False):
-    """A jitted ``step(dem) -> dict`` closure for a fixed grid shape."""
+                  with_twi=False, no_data=None):
+    """A jitted ``step(dem) -> dict`` closure for a fixed grid shape.
+
+    ``no_data``: sentinel value treated as nodata (drains; zero weight;
+    returned unchanged) — matching ``resumable_pipeline`` so the cached
+    and uncached CLI paths agree."""
+    from richdem_tpu.ops.stencil import nodata_like
+
     # Gauss–Seidel rotation cap: each rotation resolves every monotone
     # flow-path segment, so convergence is O(direction changes), not
     # O(path length); log2(n) is a generous ceiling.
@@ -86,17 +97,19 @@ def make_pipeline(shape, eps=1e-3, cellsize=1.0, fill_iters=256,
 
     @jax.jit
     def step(z):
-        return _pipeline(z, eps, cellsize, fill_iters, rounds, with_twi)
+        nodata = nodata_like(z, no_data)
+        return _pipeline(z, nodata, eps, cellsize, fill_iters, rounds,
+                         with_twi)
 
     return step
 
 
 def terrain_pipeline(dem, eps=1e-3, cellsize=1.0, fill_iters=256,
-                     with_twi=False):
+                     with_twi=False, no_data=None):
     """One-shot convenience wrapper around :func:`make_pipeline`."""
     z = jnp.asarray(dem)
     return make_pipeline(z.shape, eps, cellsize, fill_iters,
-                         with_twi)(z)
+                         with_twi, no_data=no_data)(z)
 
 
 def resumable_pipeline(dem, cache_dir, grid_id="grid", eps=1e-3,
@@ -109,11 +122,16 @@ def resumable_pipeline(dem, cache_dir, grid_id="grid", eps=1e-3,
     import numpy as np
 
     from richdem_tpu import ops
-    from richdem_tpu.checkpoint import PhaseCache
+    from richdem_tpu.checkpoint import PhaseCache, fingerprint_of
     from richdem_tpu.ops.stencil import nodata_like
 
-    cache = PhaseCache(cache_dir, grid_id)
-    z = jnp.asarray(np.asarray(dem))
+    dem_np = np.asarray(dem)
+    # the fingerprint invalidates stale entries when the DEM or any
+    # result-changing knob differs from the cached run (ADVICE r1)
+    fp = fingerprint_of(
+        f"eps={eps};cellsize={cellsize};no_data={no_data}", dem_np)
+    cache = PhaseCache(cache_dir, grid_id, fingerprint=fp)
+    z = jnp.asarray(dem_np)
     nd_mask = nodata_like(z, no_data)
 
     filled = cache.run(

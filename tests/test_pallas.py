@@ -127,6 +127,28 @@ def test_pipeline_dispatch_cpu_matches_pallas_semantics():
     assert float(np.asarray(out["accum"]).sum()) > 0
 
 
+def test_terrain_pipeline_honors_nodata():
+    """Sentinel cells must act as drains, carry zero weight, and come back
+    unchanged — NOT as deep spurious pits (ADVICE r1: the uncached CLI
+    path used to ignore no_data entirely)."""
+    from richdem_tpu.pipeline import terrain_pipeline
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(64, seed=12, dtype=np.float32),
+        no_data=-9999.0)
+    nd = dem == -9999.0
+    out = terrain_pipeline(dem, eps=0.0, no_data=-9999.0)
+    want = oracle.priority_flood_fill(dem, no_data=-9999.0,
+                                      dtype=np.float64)
+    filled = np.asarray(out["filled"], np.float64)
+    np.testing.assert_allclose(filled[~nd], want[~nd], rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(filled[nd], -9999.0)
+    acc = np.asarray(out["accum"])
+    assert (acc[nd] == 0).all()
+    # total mass = number of data cells
+    fd = np.asarray(out["flowdirs"])
+    assert float(acc[(fd == 0) & ~nd].sum()) == float((~nd).sum())
+
+
 def test_resolve_flats_matches_oracle():
     from richdem_tpu.ops import flats as F
     dem = synth.plateau_dem(72, dtype=np.float32)
