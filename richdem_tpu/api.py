@@ -239,8 +239,11 @@ def FlowAccumulation(dem, method="D8", exponent=None, weights=None,
                      in_place=False, seed=0):
     """Upstream flow accumulation for any metric.
 
-    Single-flow metrics (D8/D4/Rho8/Rho4) ride the log-depth pointer-
-    doubling path; divergent metrics use the Jacobi inflow fixpoint."""
+    Single-flow metrics (D8/D4/Rho8/Rho4) ride the Gauss–Seidel line-
+    sweep engine (Pallas strips on TPU; ``ops.accum._d8_gs_impl``
+    elsewhere — pointer doubling remains available as
+    ``ops.accum.d8_accumulation_doubling``); divergent metrics use the
+    GS sweeps on TPU and the Jacobi inflow fixpoint on CPU."""
     cite(method)
     rd = _as_rd(dem)
     z = rd.jnp()

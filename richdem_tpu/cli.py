@@ -15,6 +15,7 @@ Verb map (reference app → verb):
 * rd_no_data               → ``no-data``
 * rd_geotransform          → ``geotransform``
 * rd_ascii_to_terrain etc. → ``convert`` (any→any format)
+* rd_expand_dimensions     → ``expand-dimensions``
 * terrain generation       → ``synth``
 * rd_merge_rasters_by_layout → ``merge`` (tile manifest stitch)
 
@@ -213,6 +214,25 @@ def cmd_synth(args):
     _save(args.output, rdarray(makers[args.kind]()))
 
 
+def cmd_expand(args):
+    """Embed a raster into larger dimensions at an offset, padding with
+    nodata — the reference's ``rd_expand_dimensions`` (SURVEY.md §2.3)."""
+    r = _load(args.input)
+    h, w = r.shape
+    H, W = args.height, args.width
+    y0, x0 = args.y0, args.x0
+    if H < h + y0 or W < w + x0:
+        raise SystemExit("target dimensions too small for the raster "
+                         f"({h}x{w} at +{y0}+{x0} into {H}x{W})")
+    fill = r.no_data if r.no_data is not None else args.fill
+    out = np.full((H, W), fill, dtype=np.asarray(r.np()).dtype)
+    out[y0:y0 + h, x0:x0 + w] = r.np()
+    expanded = r.like(out)
+    if r.no_data is None:
+        expanded.no_data = args.fill
+    _save(args.output, expanded)
+
+
 def cmd_merge(args):
     """Stitch tiles named in a layout manifest (CSV of paths, blank =
     missing) into one raster — the reference's
@@ -321,6 +341,16 @@ def build_parser():
     sp.add_argument("--twi", action="store_true")
     sp.add_argument("--cache-dir", default=None)
     sp.add_argument("--grid-id", default="grid")
+
+    sp = add("expand-dimensions", cmd_expand,
+             help="embed raster in larger extent, padding with nodata")
+    sp.add_argument("input"); sp.add_argument("output")
+    sp.add_argument("--height", type=int, required=True)
+    sp.add_argument("--width", type=int, required=True)
+    sp.add_argument("--y0", type=int, default=0)
+    sp.add_argument("--x0", type=int, default=0)
+    sp.add_argument("--fill", type=float, default=-9999.0,
+                    help="pad value when the raster has no nodata")
 
     sp = add("merge", cmd_merge, help="stitch tiles by layout manifest")
     sp.add_argument("layout"); sp.add_argument("output")

@@ -24,8 +24,8 @@ import threading
 import numpy as np
 
 __all__ = ["available", "fill", "fill_flowdirs", "fill_watersheds",
-           "d8_flowdirs", "accum_d8", "accum_props", "breach_depressions",
-           "resolve_flats", "flat_mask_and_labels"]
+           "fill_tile", "d8_flowdirs", "accum_d8", "accum_props",
+           "breach_depressions", "resolve_flats", "flat_mask_and_labels"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "core.cpp")
@@ -66,6 +66,12 @@ def _load():
         lib.rn_d8_flowdirs.argtypes = [p64, pi8, i64, i64, f64,
                                        ctypes.c_int, f64, ctypes.c_int]
         lib.rn_d8_flowdirs.restype = ctypes.c_int
+        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.rn_fill_tile.argtypes = [p64, i64, i64, f64, ctypes.c_int,
+                                     ctypes.c_int, pi32, pi32, pi32, p64,
+                                     i64, ctypes.POINTER(i64),
+                                     ctypes.POINTER(ctypes.c_int32)]
+        lib.rn_fill_tile.restype = ctypes.c_int
         lib.rn_accum_props.argtypes = [p64, ctypes.c_void_p, p64, i64, i64]
         lib.rn_accum_props.restype = ctypes.c_int
         lib.rn_accum_d8.argtypes = [pi8, ctypes.c_void_p, p64, i64, i64]
@@ -126,6 +132,51 @@ def fill_watersheds(dem, no_data=None):
     """(filled, labels) — seed-index watershed labels."""
     z, _, labels = _fill_impl(dem, no_data, 0.0, want_labels=True)
     return z, labels
+
+
+def fill_tile(dem, no_data=None, global_edges=0):
+    """[P1] two-pass fill, consumer pass: Priority-Flood one tile with
+    its perimeter as the seed set.
+
+    Returns ``(filled, labels, edges)`` where ``filled`` is the tile
+    filled relative to its own perimeter (float64), ``labels`` int32
+    per-cell watershed ids (0 = ocean: global edges / nodata-adjacent),
+    and ``edges`` an ``(m, 3)`` float64 array of label-graph rows
+    ``(label_a, label_b, spill_elevation)``.
+
+    ``global_edges``: bitmask marking which tile sides are true DEM
+    borders (1 top, 2 bottom, 4 left, 8 right).  Spec: Barnes 2016
+    arxiv 1606.06204 §3 (SURVEY.md §2.4)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    z = np.array(dem, dtype=np.float64, copy=True, order="C")
+    h, w = z.shape
+    labels = np.empty((h, w), np.int32)
+    nd, has_nd = _nodata_args(no_data)
+    cap = 8 * (h + w) + 1024
+    for _ in range(8):
+        ea = np.empty(cap, np.int32)
+        eb = np.empty(cap, np.int32)
+        ew = np.empty(cap, np.float64)
+        n_edges = ctypes.c_int64(0)
+        n_labels = ctypes.c_int32(0)
+        rc = lib.rn_fill_tile(z, h, w, nd, has_nd, int(global_edges),
+                              labels, ea, eb, ew, cap,
+                              ctypes.byref(n_edges),
+                              ctypes.byref(n_labels))
+        if rc == 0:
+            m = n_edges.value
+            edges = np.column_stack([ea[:m].astype(np.float64),
+                                     eb[:m].astype(np.float64), ew[:m]])
+            return z, labels, edges
+        if rc == 2:
+            # buffer too small: retry with the reported requirement
+            cap = int(n_edges.value) + 1024
+            z = np.array(dem, dtype=np.float64, copy=True, order="C")
+            continue
+        raise RuntimeError(f"rn_fill_tile failed ({rc})")
+    raise RuntimeError("rn_fill_tile: edge buffer kept overflowing")
 
 
 def d8_flowdirs(dem, no_data=None, cellsize=1.0, topology="D8"):

@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -140,6 +141,126 @@ int rn_fill(double* z, int64_t h, int64_t w, double no_data, int has_nodata,
         heap.push({z[ni], k++, (int32_t)nr, (int32_t)nc});
       }
     }
+  }
+  if (has_nodata)
+    for (int64_t i = 0; i < n; ++i)
+      if (nodata[i]) z[i] = no_data;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Tile consumer for the two-pass distributed fill — the [P1] protocol
+// (Barnes 2016, arxiv 1606.06204 §3; SURVEY.md §2.4 row 1, §3.4).
+//
+// Runs Priority-Flood on ONE tile with the tile perimeter as the flood
+// seed set, producing everything the global O(perimeter) combine needs:
+//
+//   * z filled RELATIVE TO THE TILE PERIMETER (each cell raised to its
+//     within-tile spill level; perimeter cells stay at their own z);
+//   * a watershed label per cell: 0 = "ocean" (cells on a GLOBAL grid
+//     edge per `global_edges` bits, nodata cells, and cells 8-adjacent
+//     to nodata — all true drains), 1..k = the perimeter seed the cell
+//     was flooded from;
+//   * the label-adjacency graph: for every pair of labels whose flood
+//     fronts touch, the MINIMUM over touchings of max(filled z on both
+//     sides) — the spill elevation joining the two watersheds.
+//
+// Plain fill only (eps = 0): the label-graph combine computes flat raise
+// levels; the epsilon variant stays on the Schwarz path.
+//
+// global_edges bits: 1 = top row is a global DEM edge, 2 = bottom,
+// 4 = left, 8 = right.  Edges are emitted deduplicated with a < b; if
+// more than edge_cap exist, rc = 2 and *n_edges holds the required
+// capacity (caller reallocates and retries).
+int rn_fill_tile(double* z, int64_t h, int64_t w, double no_data,
+                 int has_nodata, int global_edges, int32_t* labels_out,
+                 int32_t* edge_a, int32_t* edge_b, double* edge_w,
+                 int64_t edge_cap, int64_t* n_edges, int32_t* n_labels) {
+  const int64_t n = h * w;
+  std::vector<uint8_t> visited(n, 0), nodata(n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    nodata[i] = is_nodata(z[i], no_data, has_nodata);
+    visited[i] = nodata[i];
+    labels_out[i] = nodata[i] ? 0 : -1;
+  }
+  const bool g_top = global_edges & 1, g_bot = global_edges & 2;
+  const bool g_left = global_edges & 4, g_right = global_edges & 8;
+
+  MinHeap heap;
+  int64_t k = 0;
+  int32_t next_label = 1;
+  for (int64_t r = 0; r < h; ++r) {
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (nodata[i]) continue;
+      const bool on_perim = (r == 0 || r == h - 1 || c == 0 || c == w - 1);
+      bool near_nodata = false;
+      for (int d = 1; d <= 8 && !near_nodata; ++d) {
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr >= 0 && nr < h && nc >= 0 && nc < w && nodata[nr * w + nc])
+          near_nodata = true;
+      }
+      if (!on_perim && !near_nodata) continue;
+      const bool ocean = near_nodata || (r == 0 && g_top) ||
+                         (r == h - 1 && g_bot) || (c == 0 && g_left) ||
+                         (c == w - 1 && g_right);
+      labels_out[i] = ocean ? 0 : next_label++;
+      visited[i] = 1;
+      heap.push({z[i], k++, (int32_t)r, (int32_t)c});
+    }
+  }
+
+  // flood; record label-front meetings with their joining level.
+  std::unordered_map<uint64_t, double> spills;
+  std::queue<Cell> pit;
+  while (!heap.empty() || !pit.empty()) {
+    Cell cell;
+    if (!pit.empty()) {
+      cell = pit.front();
+      pit.pop();
+    } else {
+      cell = heap.top();
+      heap.pop();
+    }
+    const int64_t ci = (int64_t)cell.r * w + cell.c;
+    const double zc = z[ci];
+    const int32_t lc = labels_out[ci];
+    for (int d = 1; d <= 8; ++d) {
+      const int64_t nr = cell.r + DY[d], nc = cell.c + DX[d];
+      if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+      const int64_t ni = nr * w + nc;
+      if (visited[ni]) {
+        const int32_t ln = labels_out[ni];
+        if (ln >= 0 && ln != lc && !nodata[ni]) {
+          // both z final (set at visit time): joining spill level
+          const double s = std::max(zc, z[ni]);
+          const uint64_t key =
+              ((uint64_t)std::min(lc, ln) << 32) | (uint32_t)std::max(lc, ln);
+          auto it = spills.find(key);
+          if (it == spills.end() || s < it->second) spills[key] = s;
+        }
+        continue;
+      }
+      visited[ni] = 1;
+      labels_out[ni] = lc;
+      if (z[ni] <= zc) {
+        z[ni] = zc;
+        pit.push({zc, k++, (int32_t)nr, (int32_t)nc});
+      } else {
+        heap.push({z[ni], k++, (int32_t)nr, (int32_t)nc});
+      }
+    }
+  }
+
+  *n_labels = next_label;
+  *n_edges = (int64_t)spills.size();
+  if ((int64_t)spills.size() > edge_cap) return 2;
+  int64_t e = 0;
+  for (const auto& kv : spills) {
+    edge_a[e] = (int32_t)(kv.first >> 32);
+    edge_b[e] = (int32_t)(kv.first & 0xffffffffu);
+    edge_w[e] = kv.second;
+    ++e;
   }
   if (has_nodata)
     for (int64_t i = 0; i < n; ++i)

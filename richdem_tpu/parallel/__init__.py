@@ -11,12 +11,16 @@ TPU-native machinery instead (SURVEY.md §5.7/§5.8):
   reference's producer-consumer star topology;
 * sharded fixpoint drivers whose convergence is detected by a global
   ``psum`` of changed-cell counts (``richdem_tpu.parallel.sharded``);
+* the [P1]/[P2] O(perimeter) two-pass protocols — label-graph fill and
+  perimeter-link accumulation — giving exactly two passes over the data
+  at any scale (``richdem_tpu.parallel.labelgraph`` +
+  ``sharded_fill_twopass`` / ``outofcore`` method="twopass");
 * tile manifests for hosts feeding the mesh from disk
   (``richdem_tpu.parallel.layout`` — Layoutfile counterpart).
 """
 
 from richdem_tpu.parallel.mesh import make_mesh, grid_sharding
 from richdem_tpu.parallel.sharded import (
-    sharded_fill, sharded_terrain_attribute, sharded_d8_flowdirs,
-    sharded_accumulation_d8, sharded_pipeline,
+    sharded_fill, sharded_fill_twopass, sharded_terrain_attribute,
+    sharded_d8_flowdirs, sharded_accumulation_d8, sharded_pipeline,
 )

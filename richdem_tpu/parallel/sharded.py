@@ -33,13 +33,33 @@ from richdem_tpu.ops import accum as accum_ops
 from richdem_tpu.parallel.mesh import make_mesh, grid_sharding
 from richdem_tpu.parallel.halo import exchange_halo
 
-__all__ = ["sharded_fill", "sharded_terrain_attribute",
-           "sharded_d8_flowdirs", "sharded_accumulation_d8",
-           "sharded_pipeline"]
+__all__ = ["sharded_fill", "sharded_fill_twopass",
+           "sharded_terrain_attribute", "sharded_d8_flowdirs",
+           "sharded_accumulation_d8", "sharded_pipeline"]
 
 
 def _put(x, mesh):
     return jax.device_put(x, grid_sharding(mesh))
+
+
+def _mesh_pad(mesh, h, w):
+    """Bottom/right padding that makes (h, w) divisible by the mesh.
+
+    Padding cells are marked nodata, which every sharded op treats
+    exactly like off-grid cells (drains for fill, skipped neighbors for
+    stencils, zero weight for accumulation), so results on the original
+    extent are unchanged — outputs are cropped back before returning."""
+    ny, nx = mesh.devices.shape
+    return (-h) % ny, (-w) % nx
+
+
+def _pad_zm(z, mask, ph, pw, z_fill=0.0):
+    """Pad a raster + nodata mask; padding is nodata."""
+    if ph == 0 and pw == 0:
+        return z, mask
+    z = jnp.pad(z, ((0, ph), (0, pw)), constant_values=z_fill)
+    mask = jnp.pad(mask, ((0, ph), (0, pw)), constant_values=True)
+    return z, mask
 
 
 def _global_any(flag):
@@ -67,10 +87,14 @@ def sharded_fill(dem, mesh=None, nodata_mask=None, eps=0.0,
     """Depression fill, domain-decomposed.  Allclose-identical to
     :func:`richdem_tpu.ops.fill.fill_depressions`."""
     mesh = make_mesh() if mesh is None else mesh
-    z = _put(jnp.asarray(dem), mesh)
+    z = jnp.asarray(dem)
+    h, w = z.shape
     if nodata_mask is None:
         nodata_mask = jnp.zeros(z.shape, bool)
-    mask = _put(jnp.asarray(nodata_mask), mesh)
+    ph, pw = _mesh_pad(mesh, h, w)
+    z, nodata_mask = _pad_zm(z, jnp.asarray(nodata_mask), ph, pw)
+    z = _put(z, mesh)
+    mask = _put(nodata_mask, mesh)
 
     @partial(shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
              out_specs=P("y", "x"), check_vma=False)
@@ -97,7 +121,55 @@ def sharded_fill(dem, mesh=None, nodata_mask=None, eps=0.0,
                                  (w_init, jnp.int32(0), jnp.bool_(False)))
         return jnp.where(mb, zb, w)
 
-    return run(z, mask)
+    return run(z, mask)[:h, :w]
+
+
+def sharded_fill_twopass(dem, mesh=None, no_data=None, stats=None):
+    """Depression fill over the device-mesh tiling via the [P1]
+    O(perimeter) label-graph protocol — exactly two passes, no Schwarz
+    iteration (plain fill, eps = 0).
+
+    Architecture mirrors the reference's ``parallel_priority_flood``
+    (SURVEY.md §3.4) verbatim: a serial native consumer per mesh tile
+    (``native.fill_tile`` — on a pod, each host runs its own shards'
+    consumers), ONE global minimax solve on the label graph, then a
+    device-parallel apply pass ``max(local_fill, raise[label])`` over
+    the sharded arrays.  Output equals :func:`sharded_fill` /
+    ``ops.fill.fill_depressions`` — cross-validated in
+    tests/test_sharded.py."""
+    from richdem_tpu.parallel.outofcore import (_tile_ranges,
+                                                twopass_fill_into)
+
+    mesh = make_mesh() if mesh is None else mesh
+    dem_np = np.asarray(dem)
+    h, w = dem_np.shape
+    ny, nx = mesh.devices.shape
+    ph, pw = _mesh_pad(mesh, h, w)
+    if ph or pw:
+        # pad with nodata — drains, exactly like off-grid cells
+        if no_data is None:
+            no_data = float("nan")
+        if dem_np.dtype.kind != "f":
+            dem_np = dem_np.astype(np.float64)
+        dem_np = np.pad(dem_np, ((0, ph), (0, pw)),
+                        constant_values=no_data)
+    hp, wp = dem_np.shape
+    rows = _tile_ranges(hp, hp // ny)
+    cols = _tile_ranges(wp, wp // nx)
+    filled = np.empty((hp, wp), np.float32)
+    labels = np.empty((hp, wp), np.int64)
+    raise_ = twopass_fill_into(dem_np, filled, labels, rows, cols,
+                               no_data, stats=stats, apply_pass=False)
+    # device apply pass: per-label raise gather + max, sharded over the
+    # mesh (labels fit int32 once per-run label counts are O(perimeter))
+    table = np.where(np.isfinite(raise_), raise_, -BIG).astype(np.float32)
+    fz = _put(jnp.asarray(filled), mesh)
+    lb = _put(jnp.asarray(labels.astype(np.int32)), mesh)
+    tb = jnp.asarray(table)
+    # nodata cells carry the sentinel in `filled` and label 0 (ocean,
+    # raise = -BIG), so max() leaves them at the sentinel (NaN sentinels
+    # propagate through jnp.maximum likewise).
+    return jax.jit(lambda f, l: jnp.maximum(f, tb[l]))(fz, lb)[:h, :w]
 
 
 def _stencil_sharded(mesh, z, mask, core):
@@ -119,29 +191,37 @@ def sharded_terrain_attribute(dem, attrib, mesh=None, zscale=1.0,
                               cellsize=1.0, nodata_mask=None):
     """Terrain attribute, domain-decomposed (bitwise == single device)."""
     mesh = make_mesh() if mesh is None else mesh
-    z = _put(jnp.asarray(dem), mesh)
+    z = jnp.asarray(dem)
+    h, w = z.shape
     if nodata_mask is None:
         nodata_mask = jnp.zeros(z.shape, bool)
-    mask = _put(jnp.asarray(nodata_mask), mesh)
+    ph, pw = _mesh_pad(mesh, h, w)
+    z, nodata_mask = _pad_zm(z, jnp.asarray(nodata_mask), ph, pw)
+    z = _put(z, mesh)
+    mask = _put(nodata_mask, mesh)
     zs = jnp.asarray(zscale, jnp.float32)
     cs = jnp.asarray(cellsize, jnp.float32)
     return _stencil_sharded(
         mesh, z, mask,
-        lambda zb, mb: terrain_core(zb, mb, zs, cs, attrib))
+        lambda zb, mb: terrain_core(zb, mb, zs, cs, attrib))[:h, :w]
 
 
 def sharded_d8_flowdirs(dem, mesh=None, nodata_mask=None, cellsize=1.0,
                         topology="D8"):
     """D8 flow directions, domain-decomposed (bitwise == single device)."""
     mesh = make_mesh() if mesh is None else mesh
-    z = _put(jnp.asarray(dem), mesh)
+    z = jnp.asarray(dem)
+    h, w = z.shape
     if nodata_mask is None:
         nodata_mask = jnp.zeros(z.shape, bool)
-    mask = _put(jnp.asarray(nodata_mask), mesh)
+    ph, pw = _mesh_pad(mesh, h, w)
+    z, nodata_mask = _pad_zm(z, jnp.asarray(nodata_mask), ph, pw)
+    z = _put(z, mesh)
+    mask = _put(nodata_mask, mesh)
     cs = jnp.asarray(cellsize, jnp.float32)
     return _stencil_sharded(
         mesh, z, mask,
-        lambda zb, mb: d8_core(zb, mb, cs, topology))
+        lambda zb, mb: d8_core(zb, mb, cs, topology))[:h, :w]
 
 
 def _local_accum_solve(fd, w_eff, max_rotations):
@@ -168,14 +248,24 @@ def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
     convergence detection is sound; converges once every flow path has
     crossed its last shard boundary."""
     mesh = make_mesh() if mesh is None else mesh
-    fd_g = _put(jnp.asarray(flowdirs).astype(jnp.int8), mesh)
-    h, w = fd_g.shape
+    fd = jnp.asarray(flowdirs).astype(jnp.int8)
+    h, w = fd.shape
     if weights is None:
         weights = jnp.ones((h, w), jnp.float32)
     if no_data_mask is None:
         no_data_mask = jnp.zeros((h, w), bool)
-    w_g = _put(jnp.where(jnp.asarray(no_data_mask), 0.0,
-                         jnp.asarray(weights, jnp.float32)), mesh)
+    w_eff = jnp.where(jnp.asarray(no_data_mask), 0.0,
+                      jnp.asarray(weights, jnp.float32))
+    ph, pw = _mesh_pad(mesh, h, w)
+    if ph or pw:
+        # padding: nodata flow codes with zero weight — invisible to the
+        # original extent exactly like off-grid cells
+        fd = jnp.pad(fd, ((0, ph), (0, pw)), constant_values=-1)
+        w_eff = jnp.pad(w_eff, ((0, ph), (0, pw)))
+        no_data_mask = jnp.pad(jnp.asarray(no_data_mask),
+                               ((0, ph), (0, pw)), constant_values=True)
+    fd_g = _put(fd, mesh)
+    w_g = _put(w_eff, mesh)
 
     from richdem_tpu.ops.stencil import neighbor
     from richdem_tpu.topology import D8_INVERSE
@@ -215,7 +305,7 @@ def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
         return acc
 
     acc = run(fd_g, w_g)
-    return jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    return jnp.where(no_data_mask, 0.0, acc)[:h, :w]
 
 
 def sharded_pipeline(dem, mesh=None, eps=1e-3, nodata_mask=None,

@@ -87,6 +87,18 @@ def test_synth_and_convert(tmp_path):
     assert back.shape == (64, 64)
 
 
+def test_expand_dimensions_verb(tmp_path, dem_path):
+    out = tmp_path / "big.npz"
+    main(["expand-dimensions", str(dem_path), str(out),
+          "--height", "48", "--width", "40", "--y0", "8", "--x0", "4"])
+    big = load_npz(out)
+    dem = load_npz(dem_path)
+    assert big.shape == (48, 40)
+    np.testing.assert_array_equal(big.np()[8:40, 4:36], dem.np())
+    assert (big.np()[:8, :] == -9999.0).all()
+    assert big.no_data == -9999.0
+
+
 def test_merge_verb(tmp_path):
     from richdem_tpu.parallel.layout import split_to_layout
     dem = rdarray(synth.perlin_dem(32, seed=4, dtype=np.float32))

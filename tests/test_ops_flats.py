@@ -53,3 +53,35 @@ def test_resolved_fills_drain():
     fd = np.asarray(resolve_flats(dem, oracle.d8_flowdirs(dem)))
     interior = fd[1:-1, 1:-1]
     assert (interior == NO_FLOW).sum() == 0
+
+
+@pytest.mark.parametrize("method", ["Dinf", "Quinn"])
+def test_resolved_surface_drains_divergent_metrics(method):
+    """The single elevation-increment mechanism subsumes the reference's
+    ``flat_resolution_dinf`` variant (SURVEY.md §2.2): D∞ and MFD
+    proportions computed ON the ResolveFlats surface route flow off
+    every formerly-flat cell, and accumulation over them conserves mass.
+    """
+    import jax.numpy as jnp
+
+    import richdem_tpu as rd
+    from richdem_tpu import ops
+
+    dem = synth.depression_dem(64, seed=3, dtype=np.float64)
+    filled = np.asarray(ops.fill_depressions(dem, eps=0.0))  # flat lakes
+    fd0 = np.asarray(ops.flowdirs.d8_flowdirs(jnp.asarray(filled)))
+    flats = (fd0 == NO_FLOW)
+    flats[0, :] = flats[-1, :] = flats[:, 0] = flats[:, -1] = False
+    assert flats.sum() > 20, "fixture must actually contain flat lakes"
+
+    resolved = rd.ResolveFlats(rd.rdarray(filled))
+    props = np.asarray(ops.flow_proportions(jnp.asarray(np.asarray(
+        resolved)), method=method))
+    outflow = props.sum(-1)
+    # every formerly-flat interior cell now sheds its full flow
+    np.testing.assert_allclose(outflow[flats], 1.0, rtol=0, atol=1e-6)
+    # and the flow field is globally consistent: total mass absorbed at
+    # terminals equals the cell count
+    acc = np.asarray(ops.flow_accumulation_from_props(props))
+    absorbed = acc[outflow < 1e-9].sum()
+    np.testing.assert_allclose(absorbed, dem.size, rtol=1e-6)

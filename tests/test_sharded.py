@@ -39,6 +39,37 @@ def test_sharded_fill_equals_single_device(mesh8, eps):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_fill_twopass_equals_schwarz_and_oracle(mesh8):
+    """[P1] label-graph fill over the mesh tiling: exactly 2 passes,
+    identical output to the Schwarz sharded fill and the oracle."""
+    from richdem_tpu.parallel.sharded import sharded_fill_twopass
+    dem = synth.depression_dem(64, seed=3, dtype=np.float32)
+    stats = {}
+    two = np.asarray(sharded_fill_twopass(dem, mesh=mesh8, stats=stats))
+    assert stats["data_passes"] == 2
+    schwarz = np.asarray(sharded_fill(dem, mesh=mesh8, eps=0.0),
+                         np.float32)
+    np.testing.assert_array_equal(two, schwarz)
+    want = oracle.priority_flood_fill(dem.astype(np.float64))
+    np.testing.assert_allclose(two.astype(np.float64), want,
+                               rtol=0, atol=1e-5)
+
+
+def test_sharded_fill_twopass_nodata(mesh8):
+    from richdem_tpu.parallel.sharded import sharded_fill_twopass
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(64, seed=7, dtype=np.float32),
+        no_data=-9999.0)
+    nd = dem == -9999.0
+    two = np.asarray(sharded_fill_twopass(dem, mesh=mesh8,
+                                          no_data=-9999.0))
+    want = oracle.priority_flood_fill(dem, no_data=-9999.0,
+                                      dtype=np.float64)
+    np.testing.assert_allclose(two[~nd].astype(np.float64), want[~nd],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(two[nd], -9999.0)
+
+
 def test_sharded_fill_with_nodata(mesh8):
     dem = synth.depression_dem(64, seed=9, dtype=np.float64)
     dem = synth.with_nodata_holes(dem, no_data=-9999.0, seed=1, n_holes=3)
@@ -89,8 +120,42 @@ def test_sharded_pipeline_end_to_end_vs_oracle(mesh8):
 
 
 def test_uneven_mesh_shapes(mesh8):
-    # 65 rows over 2 shards, 68 cols over 4 shards: padding-free shard_map
-    # requires divisibility; document behavior — jax pads? It errors.
-    dem = synth.depression_dem(64, seed=2, dtype=np.float64)[:64, :64]
-    out = np.asarray(sharded_fill(dem, mesh=mesh8))
-    assert out.shape == (64, 64)
+    """Mesh-indivisible grids: pad-to-divisible with nodata padding
+    (invisible, exactly like off-grid), crop back — every sharded op
+    must equal its single-device counterpart on a 67x74 grid over the
+    2x4 mesh (VERDICT r1 weak #5)."""
+    dem = synth.depression_dem(67, 74, seed=2, dtype=np.float64)
+    filled_s = np.asarray(sharded_fill(dem, mesh=mesh8, eps=1e-3))
+    filled_1 = np.asarray(fill_depressions(dem, eps=1e-3))
+    assert filled_s.shape == (67, 74)
+    np.testing.assert_array_equal(filled_s, filled_1)
+
+    fd_s = np.asarray(sharded_d8_flowdirs(filled_1, mesh=mesh8))
+    fd_1 = np.asarray(d8_flowdirs(filled_1))
+    np.testing.assert_array_equal(fd_s, fd_1)
+
+    acc_s = np.asarray(sharded_accumulation_d8(fd_1, mesh=mesh8))
+    acc_1 = np.asarray(d8_accumulation(fd_1))
+    np.testing.assert_array_equal(acc_s, acc_1)
+
+    sl_s = np.asarray(sharded_terrain_attribute(dem, "slope_radians",
+                                                mesh=mesh8))
+    sl_1 = np.asarray(terrain_attribute(dem, "slope_radians"))
+    np.testing.assert_array_equal(sl_s, sl_1)
+
+
+def test_uneven_mesh_pipeline_and_twopass(mesh8):
+    """End-to-end: sharded_pipeline and the two-pass fill on an uneven
+    grid equal the single-device pipeline."""
+    from richdem_tpu.parallel.sharded import sharded_fill_twopass
+    dem = synth.depression_dem(65, 70, seed=9, dtype=np.float32)
+    out = sharded_pipeline(dem, mesh=mesh8, eps=0.0)
+    filled_1 = np.asarray(fill_depressions(dem, eps=0.0), np.float32)
+    np.testing.assert_array_equal(np.asarray(out["filled"], np.float32),
+                                  filled_1)
+    fd_1 = np.asarray(d8_flowdirs(jax.numpy.asarray(filled_1)))
+    np.testing.assert_array_equal(np.asarray(out["flowdirs"]), fd_1)
+    np.testing.assert_array_equal(np.asarray(out["accum"]),
+                                  np.asarray(d8_accumulation(fd_1)))
+    two = np.asarray(sharded_fill_twopass(dem, mesh=mesh8), np.float32)
+    np.testing.assert_array_equal(two, filled_1)
