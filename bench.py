@@ -164,11 +164,14 @@ def main():
         from richdem_tpu.ops.terrain import terrain_attribute
         label = "fill+dinf-accum+TWI"
 
+        from richdem_tpu.ops.accum import dinf_accumulation_from_angles
+        from richdem_tpu.ops.flowdirs import dinf_flowdirs
+
         @jax.jit
         def step(z):
             filled = ops.fill_depressions(z, eps=1e-2)
-            props = ops.flow_proportions(filled, method="Dinf")
-            acc = ops.flow_accumulation_from_props(props)
+            ang = dinf_flowdirs(filled)
+            acc = dinf_accumulation_from_angles(ang)
             slope = terrain_attribute(filled, "slope_radians")
             return twi(acc, slope)
 

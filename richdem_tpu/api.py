@@ -260,6 +260,12 @@ def FlowAccumulation(dem, method="D8", exponent=None, weights=None,
                                  topology="D4" if m == "d4" else "D8",
                                  cellsize=rd.cellsize)
         acc = ops.d8_accumulation(fd, weights=w, no_data_mask=nd_mask)
+    elif m in ("dinf", "tarboton"):
+        from richdem_tpu.ops.accum import dinf_accumulation_from_angles
+        ang = ops.dinf_flowdirs(z, no_data=rd.no_data,
+                                cellsize=rd.cellsize)
+        acc = dinf_accumulation_from_angles(ang, weights=w,
+                                            no_data_mask=nd_mask)
     else:
         props = ops.flow_proportions(z, method=method, no_data=rd.no_data,
                                      exponent=exponent,

@@ -121,9 +121,21 @@ def _resolve_impl(z, fd, nodata_mask, max_iters):
 
 @partial(jax.jit, static_argnames=("max_iters",))
 def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
-    """TPU variant: the four BFS fixpoints run as Pallas masked-distance
+    """TPU variant: the BFS fixpoints run as Pallas masked-distance
     sweeps (``ops.pallas_sweeps.dist_fixpoint_pallas``); seed/combine
-    logic stays XLA.  Same outputs as :func:`_resolve_impl`."""
+    logic stays XLA.  Same ``(resolved, mask)`` as :func:`_resolve_impl`.
+
+    Membership shortcut (saves the whole "member" flood fixpoint): every
+    edge predicate below already requires ``z_eq`` between the two cells,
+    and NO_FLOW cells are flat members by definition, so exact
+    connected-component membership can be replaced by the LOCAL closure
+    predicate ``quasi = noflow | (data ∧ ∃ equal-z data neighbor)``
+    without changing any resolved direction or mask value: a quasi-only
+    cell can seed/relax a NO_FLOW chain only through an equal-z
+    adjacency — which would have made it an exact member too.  (The
+    superset differs only on equal-z components containing no NO_FLOW
+    cell, which produce no drained cells and no mask.)  The returned
+    ``in_flat`` diagnostic is therefore this superset."""
     from richdem_tpu.ops.pallas_sweeps import (_F_DATA, _F_INFLAT,
                                                _F_NOFLOW, _dist_context,
                                                dist_fixpoint_pallas)
@@ -134,13 +146,12 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
     noflow = (fd == NO_FLOW) & data
     zed = jnp.where(nodata_mask, zbig, zf)
 
-    state0 = (data * _F_DATA + noflow * _F_NOFLOW).astype(jnp.int32)
-    ctx0 = _dist_context(zed, state0)
-    reach = dist_fixpoint_pallas(
-        jnp.where(noflow, 0.0, BIG), ctx0, "member", 1.0, max_iters)
-    in_flat = reach < _UNREACHED
+    z_nb = [neighbor(zed, d, jnp.nan) for d in range(1, 9)]
+    z_eq = jnp.stack([(zed == zb) & (zb < zbig) for zb in z_nb])
+    in_flat = data & (noflow | jnp.any(z_eq, axis=0))
 
-    state = state0 | (in_flat * _F_INFLAT).astype(jnp.int32)
+    state = (data * _F_DATA + noflow * _F_NOFLOW
+             + in_flat * _F_INFLAT).astype(jnp.int32)
     ctx = _dist_context(zed, state)
 
     def nb_mask(m):
@@ -152,17 +163,14 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
     on_border = (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
     near_nodata = jnp.any(nb_mask(nodata_mask), axis=0)
     drain = noflow & (on_border | near_nodata)
-
     outlet = in_flat & (~noflow | drain)
-    T = dist_fixpoint_pallas(jnp.where(outlet, 0.0, BIG), ctx, "towards",
-                             1.0, max_iters)
-
-    z_nb = [neighbor(zed, d, jnp.nan) for d in range(1, 9)]
     nb_higher = jnp.stack([(zb > zed) & (zb < zbig) for zb in z_nb])
     high_seed = noflow & in_flat & jnp.any(nb_higher, axis=0)
-    D = dist_fixpoint_pallas(jnp.where(high_seed, 1.0, BIG), ctx, "away",
-                             1.0, max_iters)
 
+    T = dist_fixpoint_pallas(jnp.where(outlet, 0.0, BIG), ctx,
+                             "towards", 1.0, max_iters)
+    D = dist_fixpoint_pallas(jnp.where(high_seed, 1.0, BIG), ctx,
+                             "away", 1.0, max_iters)
     d_finite = jnp.where(D < _UNREACHED, D, 0.0)
     neg_max = dist_fixpoint_pallas(jnp.where(in_flat, -d_finite, BIG),
                                    ctx, "maxd", 0.0, max_iters)
@@ -173,9 +181,9 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
     mask = jnp.where(drained, 2.0 * T + away_term, 0.0)
 
     nb_in_flat = nb_mask(in_flat)
-    z_eq = jnp.stack([(zed == zb) & (zb < zbig) for zb in z_nb])
     inv_dr = jnp.asarray(1.0 / DR[1:9], mask.dtype)[:, None, None]
-    nb_mask_vals = jnp.stack([neighbor(mask, d, BIG) for d in range(1, 9)])
+    nb_mask_vals = jnp.stack(
+        [neighbor(mask, d, BIG) for d in range(1, 9)])
     slopes = jnp.where(z_eq & nb_in_flat,
                        (mask[None] - nb_mask_vals) * inv_dr, -BIG)
     k = jnp.argmax(slopes, axis=0)

@@ -43,8 +43,9 @@ def _folded_test_mode():
                    pallas_folded.successor_resolve_folded,
                    pallas_folded.strahler_folded):
             fn.clear_cache()
-        from richdem_tpu.ops import pallas_mfd
+        from richdem_tpu.ops import pallas_dinf, pallas_mfd
         pallas_mfd._mfd_gs_impl.clear_cache()
+        pallas_dinf._dinf_gs_impl.clear_cache()
 
 
 @pytest.mark.parametrize("hw", [(64, 72), (96, 200), (70, 130)])
@@ -139,6 +140,37 @@ def test_mfd_folded_matches_oracle():
     want = oracle.flow_accumulation_from_props(props)
     np.testing.assert_allclose(got, want, rtol=2e-5)
     # mass conservation: total outflow over the edge equals cell count
+    assert abs(got.sum() - want.sum()) / want.sum() < 1e-6
+
+
+def test_dinf_two_tap_folded_matches_oracle():
+    """The D∞-specialized two-tap folded kernel (production path for
+    FlowAccumulation('Dinf') at ≥2048) vs the oracle topological queue
+    over the SAME proportions."""
+    import jax.numpy as jnp
+    from richdem_tpu.ops.flowdirs import dinf_flowdirs
+    from richdem_tpu.ops.pallas_dinf import (dinf_accumulation_gs,
+                                             dinf_two_tap, pack_two_tap,
+                                             two_tap_props,
+                                             unpack_two_tap)
+    dem = synth.perlin_dem(72, 96, seed=10, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    ang = dinf_flowdirs(np.asarray(filled, np.float32))
+    code, p = dinf_two_tap(ang)
+    # the encoding decodes to the generic path's proportions (p carried
+    # on the exact 2^-17 packing grid)
+    from richdem_tpu.ops.flowdirs import proportions_from_dinf
+    cq, pq = unpack_two_tap(pack_two_tap(code, p))
+    np.testing.assert_array_equal(np.asarray(cq) * (np.asarray(pq) > 0),
+                                  np.asarray(code) * (np.asarray(p) > 0))
+    np.testing.assert_allclose(np.asarray(two_tap_props(cq, pq)),
+                               np.asarray(proportions_from_dinf(ang)),
+                               rtol=0, atol=1.0 / 131072)
+    got = np.asarray(dinf_accumulation_gs(code, p, **FOLD), np.float64)
+    # oracle over the QUANTIZED proportions the kernel actually uses
+    want = oracle.flow_accumulation_from_props(
+        np.asarray(two_tap_props(cq, pq), np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
     assert abs(got.sum() - want.sum()) / want.sum() < 1e-6
 
 

@@ -127,6 +127,33 @@ def test_accum_folded_2048_exact_vs_native():
     np.testing.assert_array_equal(got, want)
 
 
+def test_dinf_two_tap_2048_vs_native():
+    """The D∞ two-tap folded kernel (production path of
+    FlowAccumulation('Dinf')) vs the native topological queue over the
+    decoded proportions."""
+    native = _native_or_skip()
+    from richdem_tpu import synth_jax
+    from richdem_tpu.ops.flowdirs import dinf_flowdirs
+    from richdem_tpu.ops.pallas_dinf import (_FOLD_MIN as FM,
+                                             dinf_accumulation_gs,
+                                             dinf_two_tap, pack_two_tap,
+                                             two_tap_props,
+                                             unpack_two_tap)
+    h, w = 2048, 2176
+    assert max(h, w) >= FM
+    dem_d = synth_jax.perlin_dem(h, w, seed=31)
+    from richdem_tpu.ops.pallas_folded import fill_fixpoint_folded
+    filled, _, _ = fill_fixpoint_folded(dem_d, eps=1e-2)
+    ang = dinf_flowdirs(filled)
+    code, p = dinf_two_tap(ang)
+    got = np.asarray(dinf_accumulation_gs(code, p), np.float64)
+    cq, pq = unpack_two_tap(pack_two_tap(code, p))
+    want = native.accum_props(np.asarray(two_tap_props(cq, pq),
+                                         np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+    assert abs(got.sum() - want.sum()) / want.sum() < 1e-5
+
+
 def test_mfd_folded_2048_vs_native():
     """Folded multi-flow accumulation (production path for D∞/Quinn/…)
     vs native topological queue over the same proportions."""
