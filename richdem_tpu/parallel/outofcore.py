@@ -52,6 +52,18 @@ def _read_halo(mm, r0, r1, c0, c1, fill):
     return out
 
 
+def _open_raster(path):
+    """Raster for windowed access: ``.npy`` memmap, or a GeoTIFF via the
+    windowed reader (only overlapping strips/tiles are decoded, so a
+    compressed GeoTIFF larger than RAM streams through the chip —
+    SURVEY.md §2.1 Array2D windowed-load row)."""
+    p = str(path)
+    if p.lower().endswith((".tif", ".tiff")):
+        from richdem_tpu.io.geotiff import GeoTIFFWindow
+        return GeoTIFFWindow(p)
+    return np.load(p, mmap_mode="r")
+
+
 def _nodata_mask_of(z, no_data):
     if no_data is None:
         return np.zeros(z.shape, bool)
@@ -95,7 +107,9 @@ def out_of_core_fill(dem_path, state_path=None, tile=2048, eps=0.0,
 def _fill_twopass(dem_path, state_path, tile, no_data, verbose, stats):
     """[P1] two-pass fill: native tile consumers + O(perimeter) label-
     graph combine + apply pass.  See module docstring / labelgraph.py."""
-    dem = np.load(dem_path, mmap_mode="r")
+    dem = _open_raster(dem_path)
+    if no_data is None:
+        no_data = getattr(dem, "no_data", None)
     h, w = dem.shape
     if state_path is None:
         state_path = str(dem_path) + ".filled.npy"
@@ -215,7 +229,9 @@ def _fill_schwarz(dem_path, state_path, tile, eps, no_data, max_passes,
 
     from richdem_tpu.parallel.sharded import _local_fill_solve
 
-    dem = np.load(dem_path, mmap_mode="r")
+    dem = _open_raster(dem_path)
+    if no_data is None:
+        no_data = getattr(dem, "no_data", None)
     h, w = dem.shape
     if state_path is None:
         state_path = str(dem_path) + ".filled.npy"
@@ -336,9 +352,9 @@ def _accum_twopass(fd_path, weights_path, out_path, tile, verbose, stats):
     from richdem_tpu.methods import watersheds_from_flowdirs
     from richdem_tpu.topology import DX, DY
 
-    fd_mm = np.load(fd_path, mmap_mode="r")
+    fd_mm = _open_raster(fd_path)
     h, w = fd_mm.shape
-    wt_mm = (np.load(weights_path, mmap_mode="r")
+    wt_mm = (_open_raster(weights_path)
              if weights_path is not None else None)
     if out_path is None:
         out_path = str(fd_path) + ".accum.npy"
@@ -486,9 +502,9 @@ def _accum_schwarz(fd_path, weights_path, out_path, tile, max_passes,
 
     from richdem_tpu.topology import DX, DY, D8_INVERSE
 
-    fd_mm = np.load(fd_path, mmap_mode="r")
+    fd_mm = _open_raster(fd_path)
     h, w = fd_mm.shape
-    wt_mm = (np.load(weights_path, mmap_mode="r")
+    wt_mm = (_open_raster(weights_path)
              if weights_path is not None else None)
     if out_path is None:
         out_path = str(fd_path) + ".accum.npy"
