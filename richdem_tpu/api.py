@@ -173,8 +173,14 @@ def ResolveFlats(dem, in_place=False):
 
 # -- flow ----------------------------------------------------------------
 
-def FlowDirections(dem, method="D8", exponent=None, seed=0):
-    """D8/D4/Rho8 single-flow direction raster, or Dinf angle raster."""
+def FlowDirections(dem, method="D8", exponent=None, seed=0,
+                   engine="host"):
+    """D8/D4/Rho8 single-flow direction raster, or Dinf angle raster.
+
+    ``engine`` applies to Orlandini only: ``"host"`` (default — the
+    serial oracle, as the reference's serial C++) or ``"device"`` (the
+    XLA deviation-field fixpoint in ops/orlandini.py — identical output,
+    O(longest-flow-path) Jacobi iterations)."""
     cite(method)
     rd = _as_rd(dem)
     z = rd.jnp()
@@ -191,15 +197,23 @@ def FlowDirections(dem, method="D8", exponent=None, seed=0):
         out = ops.dinf_flowdirs(z, no_data=rd.no_data,
                                 cellsize=rd.cellsize)
     elif m in ("orlandini", "d8ltd", "d8lad"):
-        # Path-sequential by construction (deviation state rides the flow
-        # path) — a host op here, exactly as it is serial C++ in the
-        # reference (SURVEY.md §2.2 Orlandini row).
-        from richdem_tpu.oracle.orlandini import orlandini_flowdirs
-        out = orlandini_flowdirs(
-            rd.np(), no_data=rd.no_data,
-            lam=1.0 if exponent is None else float(exponent),
-            mode="LAD" if m == "d8lad" else "LTD",
-            cellsize=rd.cellsize)
+        # Path-sequential by construction (deviation state rides the
+        # flow path).  Default = host oracle, exactly as it is serial
+        # C++ in the reference (SURVEY.md §2.2 Orlandini row); the
+        # device fixpoint is available via engine="device".
+        lam = 1.0 if exponent is None else float(exponent)
+        mode = "LAD" if m == "d8lad" else "LTD"
+        if engine == "device":
+            from richdem_tpu.ops.orlandini import \
+                orlandini_flowdirs_device
+            out = orlandini_flowdirs_device(
+                z, no_data=rd.no_data, lam=lam, mode=mode,
+                cellsize=rd.cellsize)
+        else:
+            from richdem_tpu.oracle.orlandini import orlandini_flowdirs
+            out = orlandini_flowdirs(
+                rd.np(), no_data=rd.no_data, lam=lam, mode=mode,
+                cellsize=rd.cellsize)
     else:
         raise ValueError(f"unknown flow-direction method {method!r}")
     res = _result(rd, out, f"FlowDirections(dem, method={method!r})")

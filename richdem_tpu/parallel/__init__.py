@@ -22,5 +22,6 @@ TPU-native machinery instead (SURVEY.md §5.7/§5.8):
 from richdem_tpu.parallel.mesh import make_mesh, grid_sharding
 from richdem_tpu.parallel.sharded import (
     sharded_fill, sharded_fill_twopass, sharded_terrain_attribute,
-    sharded_d8_flowdirs, sharded_accumulation_d8, sharded_pipeline,
+    sharded_d8_flowdirs, sharded_accumulation_d8,
+    sharded_accumulation_mfd, sharded_pipeline,
 )

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from richdem_tpu.ops.sweeps import BIG, minplus_fixpoint_core
@@ -35,7 +35,8 @@ from richdem_tpu.parallel.halo import exchange_halo
 
 __all__ = ["sharded_fill", "sharded_fill_twopass",
            "sharded_terrain_attribute", "sharded_d8_flowdirs",
-           "sharded_accumulation_d8", "sharded_pipeline"]
+           "sharded_accumulation_d8", "sharded_accumulation_mfd",
+           "sharded_pipeline"]
 
 
 def _put(x, mesh):
@@ -305,6 +306,89 @@ def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
         return acc
 
     acc = run(fd_g, w_g)
+    return jnp.where(no_data_mask, 0.0, acc)[:h, :w]
+
+
+def _local_mfd_solve(props, w_eff, max_rotations):
+    """Exact local multi-flow accumulation (Pallas GS on TPU, Jacobi
+    elsewhere)."""
+    if jax.default_backend() == "tpu":
+        from richdem_tpu.ops.pallas_mfd import mfd_accumulation_gs
+        return mfd_accumulation_gs(props, weights=w_eff,
+                                   max_rotations=max_rotations)
+    acc, _, _ = accum_ops.accumulation_jacobi_info(props, w_eff)
+    return acc
+
+
+def sharded_accumulation_mfd(props, mesh=None, weights=None,
+                             no_data_mask=None, outer_iters=256,
+                             max_rotations=512):
+    """Divergent-metric (D∞/Quinn/Freeman/Holmgren/MD∞) accumulation,
+    domain-decomposed — boundary-inflow Schwarz over the (H, W, 8)
+    proportion tensor, exactly like :func:`sharded_accumulation_d8` but
+    with weighted taps from the neighbors' proportion planes.  Output
+    equals :func:`richdem_tpu.ops.accum.flow_accumulation_from_props`
+    (SURVEY.md §5.7 sets the multi-device bar beyond the reference's
+    D8-only [P2] program)."""
+    mesh = make_mesh() if mesh is None else mesh
+    pr = jnp.asarray(props, jnp.float32)
+    h, w = pr.shape[:2]
+    if weights is None:
+        weights = jnp.ones((h, w), jnp.float32)
+    if no_data_mask is None:
+        no_data_mask = jnp.zeros((h, w), bool)
+    w_eff = jnp.where(jnp.asarray(no_data_mask), 0.0,
+                      jnp.asarray(weights, jnp.float32))
+    ph, pw = _mesh_pad(mesh, h, w)
+    if ph or pw:
+        pr = jnp.pad(pr, ((0, ph), (0, pw), (0, 0)))
+        w_eff = jnp.pad(w_eff, ((0, ph), (0, pw)))
+        no_data_mask = jnp.pad(jnp.asarray(no_data_mask),
+                               ((0, ph), (0, pw)), constant_values=True)
+    pr_g = jax.device_put(pr, NamedSharding(mesh, P("y", "x", None)))
+    w_g = _put(w_eff, mesh)
+
+    from richdem_tpu.ops.stencil import neighbor
+    from richdem_tpu.topology import D8_INVERSE
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("y", "x", None), P("y", "x")),
+             out_specs=P("y", "x"), check_vma=False)
+    def run(pb, wb):
+        # Ring proportions are static: exchange each plane once.
+        props_ext = jnp.stack(
+            [exchange_halo(pb[..., k], halo=1, fill=0.0)
+             for k in range(8)], axis=-1)
+
+        def ring_inflow(acc):
+            """Inflow into local cells from OUTSIDE the shard."""
+            acc_ext = exchange_halo(acc, halo=1, fill=0.0)
+            ring = acc_ext.at[1:-1, 1:-1].set(0.0)
+            total = jnp.zeros_like(acc)
+            for d in range(1, 9):
+                inv = int(D8_INVERSE[d])
+                contrib = ring * props_ext[..., inv - 1]
+                total = total + neighbor(contrib, d, 0.0)[1:-1, 1:-1]
+            return total
+
+        acc0 = _local_mfd_solve(pb, wb, max_rotations)
+
+        def cond(state):
+            _, it, done = state
+            return jnp.logical_and(~done, it < outer_iters)
+
+        def body(state):
+            acc, it, _ = state
+            new = _local_mfd_solve(pb, wb + ring_inflow(acc),
+                                   max_rotations)
+            changed = jnp.any(new != acc)
+            return new, it + 1, ~_global_any(changed)
+
+        acc, _, _ = lax.while_loop(cond, body,
+                                   (acc0, jnp.int32(0), jnp.bool_(False)))
+        return acc
+
+    acc = run(pr_g, w_g)
     return jnp.where(no_data_mask, 0.0, acc)[:h, :w]
 
 

@@ -96,3 +96,37 @@ def test_rho8_unbiased_device():
 def test_unknown_method_raises():
     with pytest.raises(ValueError, match="unknown flow metric"):
         ops.flow_proportions(np.zeros((4, 4)), method="D9")
+
+
+def test_orlandini_device_matches_oracle():
+    """The XLA deviation-field fixpoint (ops/orlandini.py — the device
+    path SURVEY §2.2 asked for) equals the serial oracle bitwise, for
+    both modes, several lambdas, and with nodata holes."""
+    from richdem_tpu.oracle.orlandini import orlandini_flowdirs
+    from richdem_tpu.ops.orlandini import orlandini_flowdirs_device
+
+    filled = oracle.priority_flood_epsilon(
+        synth.perlin_dem(48, seed=6, dtype=np.float64), eps=1e-3)
+    for mode in ("LTD", "LAD"):
+        for lam in (1.0, 0.5, 0.0):
+            want = orlandini_flowdirs(filled, lam=lam, mode=mode)
+            got = np.asarray(orlandini_flowdirs_device(
+                filled, lam=lam, mode=mode))
+            np.testing.assert_array_equal(got, want)
+    dem = synth.with_nodata_holes(
+        oracle.priority_flood_epsilon(
+            synth.perlin_dem(40, seed=7, dtype=np.float64), eps=1e-3),
+        no_data=-9999.0)
+    want = orlandini_flowdirs(dem, no_data=-9999.0)
+    got = np.asarray(orlandini_flowdirs_device(dem, no_data=-9999.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_orlandini_engine_dispatch():
+    import richdem_tpu as rd
+    filled = oracle.priority_flood_epsilon(
+        synth.perlin_dem(32, seed=8, dtype=np.float64), eps=1e-3)
+    host = rd.FlowDirections(rd.rdarray(filled), method="Orlandini")
+    dev = rd.FlowDirections(rd.rdarray(filled), method="Orlandini",
+                            engine="device")
+    np.testing.assert_array_equal(host.np(), dev.np())

@@ -144,6 +144,40 @@ def test_uneven_mesh_shapes(mesh8):
     np.testing.assert_array_equal(sl_s, sl_1)
 
 
+@pytest.mark.parametrize("method", ["Quinn", "Dinf"])
+def test_sharded_mfd_accumulation_equals_single_device(mesh8, method):
+    """Divergent-metric accumulation over the mesh == single device —
+    beyond the reference's D8-only parallel program (SURVEY §5.7)."""
+    from richdem_tpu.ops.accum import flow_accumulation_from_props
+    from richdem_tpu.ops.flowdirs import flow_proportions
+    from richdem_tpu.parallel.sharded import sharded_accumulation_mfd
+    dem = synth.perlin_dem(64, seed=4, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    props = np.asarray(flow_proportions(
+        jax.numpy.asarray(filled, jax.numpy.float32), method=method))
+    single = np.asarray(flow_accumulation_from_props(props))
+    shard = np.asarray(sharded_accumulation_mfd(props, mesh=mesh8))
+    np.testing.assert_allclose(shard, single, rtol=2e-5, atol=1e-4)
+    # mass conservation on the sharded result
+    out = props.sum(-1)
+    np.testing.assert_allclose(shard[out < 1e-9].sum(), dem.size,
+                               rtol=1e-5)
+
+
+def test_sharded_mfd_accumulation_uneven(mesh8):
+    from richdem_tpu.ops.accum import flow_accumulation_from_props
+    from richdem_tpu.ops.flowdirs import flow_proportions
+    from richdem_tpu.parallel.sharded import sharded_accumulation_mfd
+    dem = synth.perlin_dem(67, 74, seed=5, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    props = np.asarray(flow_proportions(
+        jax.numpy.asarray(filled, jax.numpy.float32), method="Quinn"))
+    single = np.asarray(flow_accumulation_from_props(props))
+    shard = np.asarray(sharded_accumulation_mfd(props, mesh=mesh8))
+    assert shard.shape == (67, 74)
+    np.testing.assert_allclose(shard, single, rtol=2e-5, atol=1e-4)
+
+
 def test_uneven_mesh_pipeline_and_twopass(mesh8):
     """End-to-end: sharded_pipeline and the two-pass fill on an uneven
     grid equal the single-device pipeline."""
