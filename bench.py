@@ -80,19 +80,19 @@ def pipeline_bytes_model(size, fill_rot, accum_rot, multiscale):
       warm start     ≈ read z + write w0 = 8 B (coarse grid is 1/64 n)
       fill setup     = build floor_p + w0 ≈ 16 B
       D8 stencil     = read filled + write fd + pad copies ≈ 16 B
-      accum rotation = 4 sweeps × (w + fd + fd_adj + acc_in + acc_adj
-                       + acc_out) 24 B + 2 transpose refolds × 8 B
-                       + convergence eq 8 B = 120 B
+      accum rotation = 4 sweeps × (w + fd + acc_in + acc_out) 16 B
+                       + 2 transpose refolds × 8 B + convergence eq 8 B
+                     = 88 B   (the adjacent-strip fd/acc boundary groups
+                       ride as (f, L) blocks — f/strip_height of a full
+                       strip, <1 B/cell·rotation, ignored)
       accum setup    = fd remap/transpose + w_p ≈ 24 B
-    The adjacent-strip blocks (fd_adj/acc_adj) are full re-reads — the
-    BlockSpec index_map DMAs the whole neighbor strip — so they count.
     """
     pad = 1024 if size >= 2048 else 256
     pc = ((size + pad - 1) // pad) * pad
     padded = pc * pc
     per_cell = (fill_rot * 72 + (8 if multiscale else 0) + 16
                 + 16
-                + accum_rot * 120 + 24)
+                + accum_rot * 88 + 24)
     return padded * per_cell
 
 

@@ -165,12 +165,11 @@ def _dinf_kernel(w_ref, v_ref, vx_ref, acc_ref, accx_ref,
         ro = r - 1 if reverse else r + 1
         in_strip = (ro >= 0) & (ro < bh)
         rs = pl.multiple_of(jnp.clip(ro, 0, bh - 1) * f, f)
-        bd = (bh - 1) * f if reverse else 0
         at_edge = i == n - 1
         a_o = jnp.where(in_strip, acc_ref[pl.ds(rs, f), :],
-                        accx_ref[pl.ds(bd, f), :])
+                        accx_ref[...])
         v_o = jnp.where(in_strip, v_ref[pl.ds(rs, f), :],
-                        vx_ref[pl.ds(bd, f), :])
+                        vx_ref[...])
         a_o = a_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
 
         os_, ow, oe = old_codes
@@ -191,32 +190,27 @@ def _dinf_kernel(w_ref, v_ref, vx_ref, acc_ref, accx_ref,
 
 
 def _dinf_sweep(acc, w, v, f, reverse):
+    from richdem_tpu.ops.pallas_folded import _strip_maps
+
     hf, L = acc.shape
     h = hf // f
-    bh = _fold_strip_height(h, L * f, n_bufs=6)
+    bh = _fold_strip_height(h, L * f, n_bufs=5)
     n = h // bh
-    if reverse:
-        def smap(i):
-            return n - 1 - i
-
-        def xmap(i):
-            return jnp.maximum(n - 2 - i, 0)
-    else:
-        def smap(i):
-            return i
-
-        def xmap(i):
-            return jnp.minimum(i + 1, n - 1)
+    smap, xgroup = _strip_maps(n, bh, reverse)
 
     def blk(m):
         return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def xblk():
+        return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         functools.partial(_dinf_kernel, bh=bh, f=f, reverse=reverse),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
         grid=(n,),
-        in_specs=[blk(smap), blk(smap), blk(xmap), blk(smap), blk(xmap)],
+        in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
         out_specs=blk(smap),
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
                         pltpu.VMEM((f, L), jnp.float32)],

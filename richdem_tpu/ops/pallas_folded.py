@@ -308,9 +308,10 @@ def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
     SE=6 from the west source, SW=8 from the east source); OLD side = row
     below, sweep-start values (codes N=3, NE=4 west, NW=2 east).
     reverse swaps the code trios and walks everything bottom-up.
-    fdx/accx are the next-unprocessed strip (index-mapped), for the
-    strip-boundary old row; carry holds the last processed group's new
-    accumulation and codes."""
+    fdx/accx are (f, L) blocks holding JUST the adjacent strip's boundary
+    group (index-mapped — loading the whole neighbor strip would double
+    the sweep's HBM traffic for one row of it); carry holds the last
+    processed group's new accumulation and codes."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -341,13 +342,12 @@ def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
         ro = r - 1 if reverse else r + 1
         in_strip = (ro >= 0) & (ro < bh)
         rs = jnp.clip(ro, 0, bh - 1)
-        bd = bh - 1 if reverse else 0
         at_edge = i == n - 1
         rsf = pl.multiple_of(rs * f, f)
         a_o = jnp.where(in_strip, acc_ref[pl.ds(rsf, f), :],
-                        accx_ref[pl.ds(bd * f, f), :])
+                        accx_ref[...])
         fd_o = jnp.where(in_strip, fd_ref[pl.ds(rsf, f), :],
-                         fdx_ref[pl.ds(bd * f, f), :])
+                         fdx_ref[...])
         a_o = a_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
 
         os_, ow, oe = old_codes
@@ -366,33 +366,48 @@ def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
     c_fd[...] = fd_fin
 
 
-def _accum_sweep(acc, w, fd, f, reverse):
-    hf, L = acc.shape
-    h = hf // f
-    bh = _fold_strip_height(h, L * f, n_bufs=6)
-    n = h // bh
+def _strip_maps(n, bh, reverse):
+    """Index maps: ``smap`` = processed strip; ``xgroup`` = the adjacent
+    (next-unprocessed) strip's boundary ROW GROUP, in (f, L)-block units
+    — only f rows of the neighbor strip ever get read, so only f rows
+    ride the DMA."""
     if reverse:
         def smap(i):
             return n - 1 - i
 
-        def xmap(i):
-            return jnp.maximum(n - 2 - i, 0)
+        def xgroup(i):
+            # previous strip's LAST group
+            return jnp.maximum(n - 2 - i, 0) * bh + (bh - 1)
     else:
         def smap(i):
             return i
 
-        def xmap(i):
-            return jnp.minimum(i + 1, n - 1)
+        def xgroup(i):
+            # next strip's FIRST group
+            return jnp.minimum(i + 1, n - 1) * bh
+    return smap, xgroup
+
+
+def _accum_sweep(acc, w, fd, f, reverse):
+    hf, L = acc.shape
+    h = hf // f
+    bh = _fold_strip_height(h, L * f, n_bufs=5)
+    n = h // bh
+    smap, xgroup = _strip_maps(n, bh, reverse)
 
     def blk(m):
         return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def xblk():
+        return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         functools.partial(_accum_kernel, bh=bh, f=f, reverse=reverse),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
         grid=(n,),
-        in_specs=[blk(smap), blk(smap), blk(xmap), blk(smap), blk(xmap)],
+        in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
         out_specs=blk(smap),
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
                         pltpu.VMEM((f, L), jnp.int32)],
@@ -517,9 +532,8 @@ def _resolve_kernel(v_ref, vx_ref, fd_ref, fdx_ref, pin_ref, out_ref,
         ro = r - 1 if reverse else r + 1
         in_strip = (ro >= 0) & (ro < bh)
         rs = pl.multiple_of(jnp.clip(ro, 0, bh - 1) * f, f)
-        bd = (bh - 1) * f if reverse else 0
         v_o = jnp.where(in_strip, v_ref[pl.ds(rs, f), :],
-                        vx_ref[pl.ds(bd, f), :])
+                        vx_ref[...])
         os_, ow, oe = (3, 2, 4) if reverse else (7, 8, 6)
         dn = jnp.where(fd_l == os_, v_o, up)
         dn = jnp.where(fd_l == ow, _gshift_east(v_o, fill, f), dn)
@@ -538,30 +552,23 @@ def _resolve_kernel(v_ref, vx_ref, fd_ref, fdx_ref, pin_ref, out_ref,
 def _resolve_sweep(v, fd, pin, f, reverse):
     hf, L = v.shape
     h = hf // f
-    bh = _fold_strip_height(h, L * f, n_bufs=6)
+    bh = _fold_strip_height(h, L * f, n_bufs=5)
     n = h // bh
-    if reverse:
-        def smap(i):
-            return n - 1 - i
-
-        def xmap(i):
-            return jnp.maximum(n - 2 - i, 0)
-    else:
-        def smap(i):
-            return i
-
-        def xmap(i):
-            return jnp.minimum(i + 1, n - 1)
+    smap, xgroup = _strip_maps(n, bh, reverse)
 
     def blk(m):
         return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def xblk():
+        return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         functools.partial(_resolve_kernel, bh=bh, f=f, reverse=reverse),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.int32),
         grid=(n,),
-        in_specs=[blk(smap), blk(xmap), blk(smap), blk(xmap), blk(smap)],
+        in_specs=[blk(smap), xblk(), blk(smap), xblk(), blk(smap)],
         out_specs=blk(smap),
         scratch_shapes=[pltpu.VMEM((f, L), jnp.int32)],
     )(v, v, fd, fd, pin)
@@ -645,12 +652,11 @@ def _strahler_kernel(ord_ref, ordx_ref, fd_ref, fdx_ref, out_ref,
         ro = r - 1 if reverse else r + 1
         in_strip = (ro >= 0) & (ro < bh)
         rs = pl.multiple_of(jnp.clip(ro, 0, bh - 1) * f, f)
-        bd = (bh - 1) * f if reverse else 0
         at_edge = i == n - 1
         o_o = jnp.where(in_strip, ord_ref[pl.ds(rs, f), :],
-                        ordx_ref[pl.ds(bd, f), :])
+                        ordx_ref[...])
         fd_o = jnp.where(in_strip, fd_ref[pl.ds(rs, f), :],
-                         fdx_ref[pl.ds(bd, f), :])
+                         fdx_ref[...])
         o_o = o_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
 
         zero = jnp.int32(0)
@@ -687,30 +693,23 @@ def _strahler_kernel(ord_ref, ordx_ref, fd_ref, fdx_ref, out_ref,
 def _strahler_sweep(order, fd, f, reverse):
     hf, L = order.shape
     h = hf // f
-    bh = _fold_strip_height(h, L * f, n_bufs=5)
+    bh = _fold_strip_height(h, L * f, n_bufs=4)
     n = h // bh
-    if reverse:
-        def smap(i):
-            return n - 1 - i
-
-        def xmap(i):
-            return jnp.maximum(n - 2 - i, 0)
-    else:
-        def smap(i):
-            return i
-
-        def xmap(i):
-            return jnp.minimum(i + 1, n - 1)
+    smap, xgroup = _strip_maps(n, bh, reverse)
 
     def blk(m):
         return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def xblk():
+        return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         functools.partial(_strahler_kernel, bh=bh, f=f, reverse=reverse),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.int32),
         grid=(n,),
-        in_specs=[blk(smap), blk(xmap), blk(smap), blk(xmap)],
+        in_specs=[blk(smap), xblk(), blk(smap), xblk()],
         out_specs=blk(smap),
         scratch_shapes=[pltpu.VMEM((f, L), jnp.int32),
                         pltpu.VMEM((f, L), jnp.int32)],

@@ -90,17 +90,18 @@ def _mfd_kernel(acc_ref, accx_ref, w_ref,
         ro = r - 1 if reverse else r + 1
         in_strip = (ro >= 0) & (ro < bh)
         rs = pl.multiple_of(jnp.clip(ro, 0, bh - 1) * f, f)
-        bd = (bh - 1) * f if reverse else 0
         at_edge = i == n - 1
 
+        # adjacent-strip boundary group rides in as (f, L)/(1, f, L)
+        # blocks (index-mapped) — only those f rows are ever read
         a_o = jnp.where(in_strip, acc_ref[pl.ds(rs, f), :],
-                        accx_ref[pl.ds(bd, f), :])
+                        accx_ref[...])
         o_s = jnp.where(in_strip, old_planes[0][0, pl.ds(rs, f), :],
-                        px_a[0, pl.ds(bd, f), :])
+                        px_a[0])
         o_w = jnp.where(in_strip, old_planes[1][0, pl.ds(rs, f), :],
-                        px_b[0, pl.ds(bd, f), :])
+                        px_b[0])
         o_e = jnp.where(in_strip, old_planes[2][0, pl.ds(rs, f), :],
-                        px_c[0, pl.ds(bd, f), :])
+                        px_c[0])
         a_o = a_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
 
         oldb = (a_o * o_s
@@ -119,40 +120,39 @@ def _mfd_kernel(acc_ref, accx_ref, w_ref,
 
 def _mfd_sweep(acc, w, props8, f, reverse):
     """One directional sweep; ``props8``: (8, H·f, W/f) folded planes."""
+    from richdem_tpu.ops.pallas_folded import _strip_maps
+
     hf, L = acc.shape
     h = hf // f
-    bh = _fold_strip_height(h, L * f, n_bufs=15)
+    bh = _fold_strip_height(h, L * f, n_bufs=12)
     n = h // bh
-
-    if not reverse:
-        def smap(i):
-            return i
-
-        def xmap(i):
-            return jnp.minimum(i + 1, n - 1)
-    else:
-        def smap(i):
-            return n - 1 - i
-
-        def xmap(i):
-            return jnp.maximum(n - 2 - i, 0)
+    smap, xgroup = _strip_maps(n, bh, reverse)
 
     def grid_blk(m):
         return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
                             memory_space=pltpu.VMEM)
 
-    def plane_blk(d, m):
+    def xblk():
+        return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane_blk(d):
         return pl.BlockSpec((1, bh * f, L),
-                            lambda i, _d=d, _m=m: (_d, _m(i), 0),
+                            lambda i, _d=d: (_d, smap(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane_xblk(d):
+        return pl.BlockSpec((1, f, L),
+                            lambda i, _d=d: (_d, xgroup(i), 0),
                             memory_space=pltpu.VMEM)
 
     # old-side planes (0-based) at the adjacent strip: forward {3,4,2}-1,
     # reverse {7,6,8}-1
     old_set = (2, 3, 1) if not reverse else (6, 5, 7)
     in_specs = (
-        [grid_blk(smap), grid_blk(xmap), grid_blk(smap)]
-        + [plane_blk(d, smap) for d in range(8)]
-        + [plane_blk(d, xmap) for d in old_set]
+        [grid_blk(smap), xblk(), grid_blk(smap)]
+        + [plane_blk(d) for d in range(8)]
+        + [plane_xblk(d) for d in old_set]
     )
     return pl.pallas_call(
         functools.partial(_mfd_kernel, bh=bh, f=f, reverse=reverse),
