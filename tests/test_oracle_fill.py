@@ -126,3 +126,32 @@ def test_flowdir_nodata_marking():
     _, fd = priority_flood_flowdirs(dem, no_data=-9999.0)
     assert np.all(fd[dem == -9999.0] == FLOWDIR_NO_DATA)
     assert np.all(fd[dem != -9999.0] >= 0)
+
+
+# -- r2: three-engine fill cross-validation (the reference's own backbone:
+#    Barnes2014 ↔ Zhou2016 ↔ Wei2018 agree cell-for-cell, SURVEY §4) ----
+
+def _fill_fixtures():
+    yield synth.depression_dem(64, seed=3, dtype=np.float32), None
+    yield synth.perlin_dem(56, 72, seed=9, dtype=np.float64), None
+    yield synth.plateau_dem(48, dtype=np.float64), None
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(60, seed=5, dtype=np.float32),
+        no_data=-9999.0)
+    yield dem, -9999.0
+    # nested depressions: pit inside a crater inside a basin
+    y, x = np.mgrid[0:64, 0:64].astype(np.float64)
+    r = np.hypot(y - 32, x - 32)
+    dem = 50.0 - 0.3 * r + 8.0 * np.cos(r / 4.0)
+    dem[0, 7] = 0.0  # outlet notch
+    yield dem, None
+
+
+def test_fill_variants_three_way_agreement():
+    from richdem_tpu.oracle.fill_variants import wei_fill, zhou_fill
+    for dem, nd in _fill_fixtures():
+        want = priority_flood_fill(dem, no_data=nd, dtype=np.float64)
+        got_z = zhou_fill(dem, no_data=nd)
+        got_w = wei_fill(dem, no_data=nd)
+        np.testing.assert_array_equal(got_z, want)
+        np.testing.assert_array_equal(got_w, want)
