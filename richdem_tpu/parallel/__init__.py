@@ -23,5 +23,6 @@ from richdem_tpu.parallel.mesh import make_mesh, grid_sharding
 from richdem_tpu.parallel.sharded import (
     sharded_fill, sharded_fill_twopass, sharded_terrain_attribute,
     sharded_d8_flowdirs, sharded_accumulation_d8,
-    sharded_accumulation_mfd, sharded_pipeline,
+    sharded_accumulation_d8_twopass, sharded_accumulation_mfd,
+    sharded_pipeline,
 )

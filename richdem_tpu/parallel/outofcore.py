@@ -347,11 +347,6 @@ def out_of_core_accum_d8(fd_path, weights_path=None, out_path=None,
 
 
 def _accum_twopass(fd_path, weights_path, out_path, tile, verbose, stats):
-    import jax.numpy as jnp
-
-    from richdem_tpu.methods import watersheds_from_flowdirs
-    from richdem_tpu.topology import DX, DY
-
     fd_mm = _open_raster(fd_path)
     h, w = fd_mm.shape
     wt_mm = (_open_raster(weights_path)
@@ -360,9 +355,22 @@ def _accum_twopass(fd_path, weights_path, out_path, tile, verbose, stats):
         out_path = str(fd_path) + ".accum.npy"
     acc = np.lib.format.open_memmap(out_path, mode="w+",
                                     dtype=np.float32, shape=(h, w))
-
     rows = _tile_ranges(h, tile)
     cols = _tile_ranges(w, tile)
+    twopass_accum_into(fd_mm, wt_mm, acc, rows, cols, stats)
+    acc.flush()
+    return out_path
+
+
+def twopass_accum_into(fd_mm, wt_mm, acc, rows, cols, stats=None):
+    """The [P2] protocol over any array-likes (memmaps or RAM arrays);
+    writes the exact accumulation into ``acc``."""
+    import jax.numpy as jnp
+
+    from richdem_tpu.methods import watersheds_from_flowdirs
+    from richdem_tpu.topology import DX, DY
+
+    h, w = fd_mm.shape
     row_starts = np.array([r0 for r0, _ in rows])
     col_starts = np.array([c0 for c0, _ in cols])
 
@@ -380,7 +388,9 @@ def _accum_twopass(fd_path, weights_path, out_path, tile, verbose, stats):
         for ci, (c0, c1) in enumerate(cols):
             fd_t = np.asarray(fd_mm[r0:r1, c0:c1], np.int8)
             tile_loads += 1
-            wt = (np.asarray(wt_mm[r0:r1, c0:c1], np.float32)
+            # explicit copy: a same-dtype slice would be a VIEW and the
+            # zeroing below must never write back into the caller's array
+            wt = (np.array(wt_mm[r0:r1, c0:c1], dtype=np.float32)
                   if wt_mm is not None
                   else np.ones(fd_t.shape, np.float32))
             wt[fd_t < 0] = 0.0
@@ -480,18 +490,20 @@ def _accum_twopass(fd_path, weights_path, out_path, tile, verbose, stats):
         for ci, (c0, c1) in enumerate(cols):
             fd_t = np.asarray(fd_mm[r0:r1, c0:c1], np.int8)
             tile_loads += 1
-            wt = (np.asarray(wt_mm[r0:r1, c0:c1], np.float32)
+            # explicit CONTIGUOUS copy: with a same-dtype view here,
+            # reshape(-1) would silently copy and the entry-inflow
+            # injections would be lost (caught by the mesh-tiling test)
+            wt = (np.array(wt_mm[r0:r1, c0:c1], dtype=np.float32)
                   if wt_mm is not None
                   else np.ones(fd_t.shape, np.float32))
             wt[fd_t < 0] = 0.0
             for local, amt in inject.get((ri, ci), {}).items():
                 wt.reshape(-1)[local] += np.float32(amt)
             acc[r0:r1, c0:c1] = _local_accum_solve_np(fd_t, wt)
-    acc.flush()
     if stats is not None:
         stats.update(method="twopass", data_passes=2,
                      tile_loads=tile_loads, n_exits=len(exit_a0))
-    return out_path
+    return acc
 
 
 def _accum_schwarz(fd_path, weights_path, out_path, tile, max_passes,

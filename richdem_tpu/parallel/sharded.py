@@ -35,8 +35,8 @@ from richdem_tpu.parallel.halo import exchange_halo
 
 __all__ = ["sharded_fill", "sharded_fill_twopass",
            "sharded_terrain_attribute", "sharded_d8_flowdirs",
-           "sharded_accumulation_d8", "sharded_accumulation_mfd",
-           "sharded_pipeline"]
+           "sharded_accumulation_d8", "sharded_accumulation_d8_twopass",
+           "sharded_accumulation_mfd", "sharded_pipeline"]
 
 
 def _put(x, mesh):
@@ -307,6 +307,40 @@ def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
 
     acc = run(fd_g, w_g)
     return jnp.where(no_data_mask, 0.0, acc)[:h, :w]
+
+
+def sharded_accumulation_d8_twopass(flowdirs, mesh=None, weights=None,
+                                    no_data_mask=None, stats=None):
+    """D8 accumulation over the device-mesh tiling via the [P2]
+    O(perimeter) two-pass perimeter-link protocol — exactly two local
+    solves per tile (no Schwarz iteration), device kernels for both
+    passes and the link computation, host topological sweep over the
+    O(perimeter) exit graph.  Output equals
+    :func:`sharded_accumulation_d8` / the topological queue."""
+    from richdem_tpu.parallel.outofcore import (_tile_ranges,
+                                                twopass_accum_into)
+
+    mesh = make_mesh() if mesh is None else mesh
+    fd = np.asarray(flowdirs)
+    h, w = fd.shape
+    ny, nx = mesh.devices.shape
+    ph, pw = _mesh_pad(mesh, h, w)
+    wt = (np.ones((h, w), np.float32) if weights is None
+          else np.asarray(weights, np.float32))
+    if no_data_mask is not None:
+        wt = np.where(np.asarray(no_data_mask), 0.0, wt)
+    if ph or pw:
+        fd = np.pad(fd, ((0, ph), (0, pw)), constant_values=-1)
+        wt = np.pad(wt, ((0, ph), (0, pw)))
+    hp, wp = fd.shape
+    rows = _tile_ranges(hp, hp // ny)
+    cols = _tile_ranges(wp, wp // nx)
+    acc = np.empty((hp, wp), np.float32)
+    twopass_accum_into(fd, wt, acc, rows, cols, stats)
+    out = jnp.asarray(acc[:h, :w])
+    if no_data_mask is not None:
+        out = jnp.where(jnp.asarray(no_data_mask), 0.0, out)
+    return _put(out, mesh)
 
 
 def _local_mfd_solve(props, w_eff, max_rotations):

@@ -193,3 +193,31 @@ def test_uneven_mesh_pipeline_and_twopass(mesh8):
                                   np.asarray(d8_accumulation(fd_1)))
     two = np.asarray(sharded_fill_twopass(dem, mesh=mesh8), np.float32)
     np.testing.assert_array_equal(two, filled_1)
+
+
+def test_sharded_accum_twopass_equals_schwarz_and_oracle(mesh8):
+    """[P2] two-pass accumulation over the mesh tiling: exactly 2 local
+    solves per tile, identical output to the Schwarz mesh path and the
+    oracle queue — incl. a serpentine path threading every cell."""
+    from richdem_tpu.parallel.sharded import sharded_accumulation_d8_twopass
+    dem = synth.perlin_dem(64, seed=4, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    fd = oracle.d8_flowdirs(filled)
+    stats = {}
+    two = np.asarray(sharded_accumulation_d8_twopass(fd, mesh=mesh8,
+                                                     stats=stats))
+    assert stats["data_passes"] == 2
+    schwarz = np.asarray(sharded_accumulation_d8(fd, mesh=mesh8))
+    np.testing.assert_array_equal(two, schwarz)
+    np.testing.assert_allclose(two, oracle.d8_accumulation(fd), rtol=1e-6)
+    # serpentine worst case on an uneven grid
+    h, w = 48, 52
+    serp = np.zeros((h, w), np.int8)
+    for r in range(h):
+        serp[r, :] = 5 if r % 2 == 0 else 1
+        serp[r, -1 if r % 2 == 0 else 0] = 7
+    serp[h - 1, 0 if (h - 1) % 2 else w - 1] = 0
+    got = np.asarray(sharded_accumulation_d8_twopass(serp, mesh=mesh8))
+    np.testing.assert_allclose(got, oracle.d8_accumulation(serp),
+                               rtol=1e-6)
+    assert got.max() == h * w
