@@ -7,11 +7,12 @@ serves two roles:
 1. on real multi-chip hardware (``python tools/scaling_bench.py``), it
    measures the sharded pipeline at every mesh size 1..N and reports
    grid-points/s per chip and weak-scaling efficiency;
-2. on CPU (``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``)
-   it validates the measurement plumbing and the sharded path's
-   correctness/overheads on a virtual 8-device mesh (the same strategy the
-   reference uses: multi-node protocols tested with mpirun -n N on one
-   box, SURVEY.md §4).
+2. with ``--cpu`` it validates the measurement plumbing and the sharded
+   path's correctness/overheads on a virtual 8-device CPU mesh (the
+   same strategy the reference uses: multi-node protocols tested with
+   mpirun -n N on one box, SURVEY.md §4).  The flag is needed because
+   the axon TPU plugin ignores the ``JAX_PLATFORMS`` env var — the CPU
+   platform must be forced via jax.config after import.
 
 Weak scaling: the per-device tile is fixed (``--tile``), the global grid
 grows with the mesh.  Prints one JSON line per mesh size.
@@ -32,9 +33,21 @@ def main(argv=None):
                     help="per-device tile edge (weak scaling)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--eps", type=float, default=1e-3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an 8-virtual-device CPU mesh "
+                         "(plumbing validation, not a scaling result)")
     args = ap.parse_args(argv)
 
+    import os
+    if args.cpu and "xla_force_host_platform_device_count" not in \
+            os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_"
+                                     "device_count=8").strip()
+
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from richdem_tpu import synth_jax
     from richdem_tpu.parallel import make_mesh, sharded_pipeline
