@@ -75,24 +75,24 @@ def pipeline_bytes_model(size, fill_rot, accum_rot, multiscale):
 
     Per padded cell (f32 = 4 B; padded to 1024 multiples at ≥2048):
       fill rotation  = 4 sweeps × (read W + read floor + write W) 12 B
-                       + 2 transpose refolds × 8 B + convergence eq 8 B
-                     = 72 B
+                       + 2 transpose refolds × 8 B = 64 B  (convergence
+                       rides in-kernel change flags — no equality pass)
       warm start     ≈ read z + write w0 = 8 B (coarse grid is 1/64 n)
       fill setup     = build floor_p + w0 ≈ 16 B
       D8 stencil     = read filled + write fd + pad copies ≈ 16 B
       accum rotation = 4 sweeps × (w + fd + acc_in + acc_out) 16 B
-                       + 2 transpose refolds × 8 B + convergence eq 8 B
-                     = 88 B   (the adjacent-strip fd/acc boundary groups
-                       ride as (f, L) blocks — f/strip_height of a full
-                       strip, <1 B/cell·rotation, ignored)
+                       + 2 transpose refolds × 8 B = 80 B  (in-kernel
+                       change flags; the adjacent-strip fd/acc boundary
+                       groups ride as (f, L) blocks — <1 B/cell·rotation,
+                       ignored)
       accum setup    = fd remap/transpose + w_p ≈ 24 B
     """
     pad = 1024 if size >= 2048 else 256
     pc = ((size + pad - 1) // pad) * pad
     padded = pc * pc
-    per_cell = (fill_rot * 72 + (8 if multiscale else 0) + 16
+    per_cell = (fill_rot * 64 + (8 if multiscale else 0) + 16
                 + 16
-                + accum_rot * 88 + 24)
+                + accum_rot * 80 + 24)
     return padded * per_cell
 
 

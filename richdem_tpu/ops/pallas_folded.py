@@ -130,20 +130,25 @@ def _gshift_west(x, fill, f):
 # Fill
 # ---------------------------------------------------------------------------
 
-def _fill_kernel(eps_ref, w_ref, floor_ref, out_ref, carry, *, bh, f,
-                 reverse):
+def _fill_kernel(eps_ref, w_ref, floor_ref, out_ref, flag_ref, carry, *,
+                 bh, f, reverse):
+    """One directional sweep; also emits a single change flag (the
+    in-kernel convergence detector — replaces an 8 B/cell whole-raster
+    equality reduce per rotation)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         # off-grid row beyond the first processed strip: a drain
         carry[...] = jnp.full(carry.shape, -BIG, carry.dtype)
+        flag_ref[...] = jnp.zeros(flag_ref.shape, jnp.int32)
 
     neg = jnp.float32(-BIG)
     eps = eps_ref[0]
     eps_diag = eps_ref[1]
 
-    def row_body(k, prev):
+    def row_body(k, state):
+        prev, diff = state
         r = (bh - 1 - k) if reverse else k
         sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
         wr = w_ref[sl]
@@ -153,9 +158,22 @@ def _fill_kernel(eps_ref, w_ref, floor_ref, out_ref, carry, *, bh, f,
         cand = jnp.minimum(cand, _gshift_west(prev, neg, f) + eps_diag)
         new = jnp.minimum(wr, jnp.maximum(fr, cand))
         out_ref[sl] = new
-        return new
+        # change detection stays VECTOR-shaped in the loop (a per-row
+        # scalar reduce serializes the VPU — measured 10% regression);
+        # int32 carry (Mosaic cannot legalize bool loop carries);
+        # one reduce per strip after the loop
+        return new, diff | (new != wr).astype(jnp.int32)
 
-    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
+    fin, diff = jax.lax.fori_loop(
+        0, bh, row_body,
+        (carry[...], jnp.zeros(carry.shape, jnp.int32)))
+    carry[...] = fin
+    chg = jnp.any(diff != 0)
+
+    @pl.when(chg)
+    def _():
+        # vreg-shaped store: Mosaic cannot store scalars to VMEM
+        flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
 def _fill_sweep(w, floor, eps2, f, reverse):
@@ -170,18 +188,22 @@ def _fill_sweep(w, floor, eps2, f, reverse):
         def imap(i, eps):
             return (i, 0)
     blk = pl.BlockSpec((bh * f, L), imap, memory_space=pltpu.VMEM)
+    flag_blk = pl.BlockSpec((8, 128), lambda i, eps: (0, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[blk, blk],
-        out_specs=blk,
+        out_specs=[blk, flag_blk],
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
     )
-    return pl.pallas_call(
+    out, flag = pl.pallas_call(
         functools.partial(_fill_kernel, bh=bh, f=f, reverse=reverse),
-        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid_spec=grid_spec,
     )(eps2, w, floor)
+    return out, flag[0, 0]
 
 
 def _refold_T(x_folded, f_from, f_to):
@@ -228,12 +250,12 @@ def _fill_folded_impl(z32, nodata_mask, w0, eps2, *, max_iters,
     wv = _fold(w_p, f_v)
 
     def rotation(wv):
-        wv = _fill_sweep(wv, floor_v, eps2, f_v, reverse=False)
-        wv = _fill_sweep(wv, floor_v, eps2, f_v, reverse=True)
+        wv, c1 = _fill_sweep(wv, floor_v, eps2, f_v, reverse=False)
+        wv, c2 = _fill_sweep(wv, floor_v, eps2, f_v, reverse=True)
         wt = _refold_T(wv, f_v, f_t)
-        wt = _fill_sweep(wt, floor_t, eps2, f_t, reverse=False)
-        wt = _fill_sweep(wt, floor_t, eps2, f_t, reverse=True)
-        return _fold(_unfold(wt, f_t).T, f_v)
+        wt, c3 = _fill_sweep(wt, floor_t, eps2, f_t, reverse=False)
+        wt, c4 = _fill_sweep(wt, floor_t, eps2, f_t, reverse=True)
+        return _fold(_unfold(wt, f_t).T, f_v), c1 + c2 + c3 + c4
 
     def cond(state):
         _, it, done = state
@@ -242,9 +264,13 @@ def _fill_folded_impl(z32, nodata_mask, w0, eps2, *, max_iters,
     def body(state):
         w, it, _ = state
         new = w
+        changed = jnp.int32(0)
         for _ in range(check_every):
-            new = rotation(new)
-        return new, it + check_every, jnp.all(new == w)
+            new, c = rotation(new)
+            changed = changed + c
+        # in-kernel flags: a rotation in which no sweep wrote a new
+        # value IS the fixpoint (each sweep is idempotent there)
+        return new, it + check_every, changed == 0
 
     done0 = jnp.any(wv != wv)
     wv, iters, done = jax.lax.while_loop(cond, body,
@@ -301,7 +327,7 @@ def fill_fixpoint_folded(z, nodata_mask=None, eps=0.0, eps_diag=None,
 # ---------------------------------------------------------------------------
 
 def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
-                  c_acc, c_fd, *, bh, f, reverse):
+                  flag_ref, c_acc, c_fd, *, bh, f, reverse):
     """GS sweep of ``A = w + Pᵀ A``; folded groups, strip carry.
 
     forward: NEW side = processed row above (source codes S=7 straight,
@@ -319,13 +345,14 @@ def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
     def _():
         c_acc[...] = jnp.zeros(c_acc.shape, c_acc.dtype)
         c_fd[...] = jnp.zeros(c_fd.shape, c_fd.dtype)
+        flag_ref[...] = jnp.zeros(flag_ref.shape, jnp.int32)
 
     zero = jnp.float32(0.0)
     new_codes = (3, 4, 2) if reverse else (7, 6, 8)
     old_codes = (7, 6, 8) if reverse else (3, 4, 2)
 
     def row_body(k, carry_in):
-        prev_a, prev_fd = carry_in
+        prev_a, prev_fd, chg0 = carry_in
         r = (bh - 1 - k) if reverse else k
         sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
         a_l = acc_ref[sl]
@@ -358,12 +385,19 @@ def _accum_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref, out_ref,
                 + _gshift_west(a_l * (fd_l == 1), zero, f))
         new = w_l + newc + oldb + oldl
         out_ref[sl] = new
-        return (new, fd_l)
+        return (new, fd_l, chg0 | (new != a_l).astype(jnp.int32))
 
-    acc_fin, fd_fin = jax.lax.fori_loop(0, bh, row_body,
-                                        (c_acc[...], c_fd[...]))
+    acc_fin, fd_fin, diff = jax.lax.fori_loop(
+        0, bh, row_body,
+        (c_acc[...], c_fd[...], jnp.zeros(c_acc.shape, jnp.int32)))
     c_acc[...] = acc_fin
     c_fd[...] = fd_fin
+    chg = jnp.any(diff != 0)
+
+    @pl.when(chg)
+    def _():
+        # vreg-shaped store: Mosaic cannot store scalars to VMEM
+        flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
 def _strip_maps(n, bh, reverse):
@@ -403,15 +437,19 @@ def _accum_sweep(acc, w, fd, f, reverse):
         return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    flag_blk = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out, flag = pl.pallas_call(
         functools.partial(_accum_kernel, bh=bh, f=f, reverse=reverse),
-        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid=(n,),
         in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
-        out_specs=blk(smap),
+        out_specs=[blk(smap), flag_blk],
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
                         pltpu.VMEM((f, L), jnp.int32)],
     )(w, fd, fd, acc, acc)
+    return out, flag[0, 0]
 
 
 def _remap_codes(fd, perm):
@@ -434,12 +472,12 @@ def _accum_folded_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
     w_t = _fold(w_p.T, f_t)
 
     def rotation(acc):
-        acc = _accum_sweep(acc, w_v, fd_v, f_v, reverse=False)
-        acc = _accum_sweep(acc, w_v, fd_v, f_v, reverse=True)
+        acc, c1 = _accum_sweep(acc, w_v, fd_v, f_v, reverse=False)
+        acc, c2 = _accum_sweep(acc, w_v, fd_v, f_v, reverse=True)
         at = _refold_T(acc, f_v, f_t)
-        at = _accum_sweep(at, w_t, fd_t, f_t, reverse=False)
-        at = _accum_sweep(at, w_t, fd_t, f_t, reverse=True)
-        return _fold(_unfold(at, f_t).T, f_v)
+        at, c3 = _accum_sweep(at, w_t, fd_t, f_t, reverse=False)
+        at, c4 = _accum_sweep(at, w_t, fd_t, f_t, reverse=True)
+        return _fold(_unfold(at, f_t).T, f_v), c1 + c2 + c3 + c4
 
     def cond(state):
         _, it, done = state
@@ -447,8 +485,8 @@ def _accum_folded_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
 
     def body(state):
         acc, it, _ = state
-        new = rotation(acc)
-        return new, it + 1, jnp.all(new == acc)
+        new, changed = rotation(acc)
+        return new, it + 1, changed == 0
 
     done0 = jnp.any(w_v != w_v)
     acc, iters, done = jax.lax.while_loop(cond, body,
