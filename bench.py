@@ -81,9 +81,11 @@ def pipeline_bytes_model(size, fill_rot, accum_rot, multiscale):
       fill setup     = build floor_p + w0 ≈ 16 B
       D8 stencil     = read filled + write fd + pad copies ≈ 16 B
       accum rotation = 4 sweeps × (w + fd + acc_in + acc_out) 16 B
-                       + 2 transpose refolds × 8 B = 80 B  (in-kernel
-                       change flags; the adjacent-strip fd/acc boundary
-                       groups ride as (f, L) blocks — <1 B/cell·rotation,
+                       + 2 transpose refolds × 8 B + convergence eq 8 B
+                     = 88 B  (summation sweeps need the rotation-level
+                       equality — per-sweep flags chatter for float
+                       weights; the adjacent-strip fd/acc boundary
+                       groups ride as (f, L) blocks, <1 B/cell·rotation,
                        ignored)
       accum setup    = fd remap/transpose + w_p ≈ 24 B
     """
@@ -92,7 +94,7 @@ def pipeline_bytes_model(size, fill_rot, accum_rot, multiscale):
     padded = pc * pc
     per_cell = (fill_rot * 64 + (8 if multiscale else 0) + 16
                 + 16
-                + accum_rot * 80 + 24)
+                + accum_rot * 88 + 24)
     return padded * per_cell
 
 

@@ -129,7 +129,7 @@ def _tap(dec, target):
 
 
 def _dinf_kernel(w_ref, v_ref, vx_ref, acc_ref, accx_ref,
-                 out_ref, s_acc, s_v, *, bh, f, reverse):
+                 out_ref, flag_ref, s_acc, s_v, *, bh, f, reverse):
     """One directional GS sweep of ``A = w + Pᵀ A`` with packed two-tap P.
 
     Mirrors ``pallas_folded._accum_kernel``: contributions from the
@@ -143,13 +143,14 @@ def _dinf_kernel(w_ref, v_ref, vx_ref, acc_ref, accx_ref,
     def _():
         s_acc[...] = jnp.zeros(s_acc.shape, s_acc.dtype)
         s_v[...] = jnp.zeros(s_v.shape, s_v.dtype)
+        flag_ref[...] = jnp.zeros(flag_ref.shape, jnp.int32)
 
     zero = jnp.float32(0.0)
     new_codes = (3, 4, 2) if reverse else (7, 6, 8)
     old_codes = (7, 6, 8) if reverse else (3, 4, 2)
 
     def row_body(k, carry_in):
-        prev_a, prev_v = carry_in
+        prev_a, prev_v, diff = carry_in
         r = (bh - 1 - k) if reverse else k
         sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
         a_l = acc_ref[sl]
@@ -182,11 +183,19 @@ def _dinf_kernel(w_ref, v_ref, vx_ref, acc_ref, accx_ref,
                 + _gshift_west(a_l * _tap(dl, 1), zero, f))
         new = w_l + newc + oldb + oldl
         out_ref[sl] = new
-        return (new, v_l)
+        # vector-shaped change accumulation (see pallas_folded notes)
+        return (new, v_l, diff | (new != a_l).astype(jnp.int32))
 
-    fin = jax.lax.fori_loop(0, bh, row_body, (s_acc[...], s_v[...]))
+    fin = jax.lax.fori_loop(
+        0, bh, row_body,
+        (s_acc[...], s_v[...], jnp.zeros((f, acc_ref.shape[-1]),
+                                         jnp.int32)))
     s_acc[...] = fin[0]
     s_v[...] = fin[1]
+
+    @pl.when(jnp.any(fin[2] != 0))
+    def _():
+        flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
 def _dinf_sweep(acc, w, v, f, reverse):
@@ -206,15 +215,19 @@ def _dinf_sweep(acc, w, v, f, reverse):
         return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    flag_blk = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out, flag = pl.pallas_call(
         functools.partial(_dinf_kernel, bh=bh, f=f, reverse=reverse),
-        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid=(n,),
         in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
-        out_specs=blk(smap),
+        out_specs=[blk(smap), flag_blk],
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
                         pltpu.VMEM((f, L), jnp.float32)],
     )(w, v, v, acc, acc)
+    return out, flag[0, 0]
 
 
 def _transpose_two_tap(code, p):
@@ -246,12 +259,15 @@ def _dinf_gs_impl(code, p, weights, max_rotations, fold_pad=_FOLD_PAD):
     v_t = _fold(pack_two_tap(ct_p, pt_p), f)
     w_t = _fold(w_p.T, f)
 
+    # rotation-level equality convergence: summation sweeps regroup the
+    # float adds per orientation, so per-sweep change flags never settle
+    # for fractional taps (see pallas_folded._accum_folded_impl note)
     def rotation(acc):
-        acc = _dinf_sweep(acc, w_v, v_v, f, reverse=False)
-        acc = _dinf_sweep(acc, w_v, v_v, f, reverse=True)
+        acc, _ = _dinf_sweep(acc, w_v, v_v, f, reverse=False)
+        acc, _ = _dinf_sweep(acc, w_v, v_v, f, reverse=True)
         at = _refold_T(acc, f)
-        at = _dinf_sweep(at, w_t, v_t, f, reverse=False)
-        at = _dinf_sweep(at, w_t, v_t, f, reverse=True)
+        at, _ = _dinf_sweep(at, w_t, v_t, f, reverse=False)
+        at, _ = _dinf_sweep(at, w_t, v_t, f, reverse=True)
         return _refold_T(at, f)
 
     def cond(state):

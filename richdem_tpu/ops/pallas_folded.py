@@ -471,13 +471,19 @@ def _accum_folded_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
     w_v = _fold(w_p, f_v)
     w_t = _fold(w_p.T, f_t)
 
+    # NOTE: unlike the fill (a clamped SELECTION fixpoint, where every
+    # sweep is idempotent at the fixpoint), accumulation sweeps re-SUM
+    # their taps with orientation-dependent grouping, so per-sweep
+    # change flags chatter in the last float bit for non-integer weights
+    # (measured: D-infinity never settles).  Convergence therefore stays
+    # a rotation-level equality; the kernels' flag outputs are ignored.
     def rotation(acc):
-        acc, c1 = _accum_sweep(acc, w_v, fd_v, f_v, reverse=False)
-        acc, c2 = _accum_sweep(acc, w_v, fd_v, f_v, reverse=True)
+        acc, _ = _accum_sweep(acc, w_v, fd_v, f_v, reverse=False)
+        acc, _ = _accum_sweep(acc, w_v, fd_v, f_v, reverse=True)
         at = _refold_T(acc, f_v, f_t)
-        at, c3 = _accum_sweep(at, w_t, fd_t, f_t, reverse=False)
-        at, c4 = _accum_sweep(at, w_t, fd_t, f_t, reverse=True)
-        return _fold(_unfold(at, f_t).T, f_v), c1 + c2 + c3 + c4
+        at, _ = _accum_sweep(at, w_t, fd_t, f_t, reverse=False)
+        at, _ = _accum_sweep(at, w_t, fd_t, f_t, reverse=True)
+        return _fold(_unfold(at, f_t).T, f_v)
 
     def cond(state):
         _, it, done = state
@@ -485,8 +491,8 @@ def _accum_folded_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
 
     def body(state):
         acc, it, _ = state
-        new, changed = rotation(acc)
-        return new, it + 1, changed == 0
+        new = rotation(acc)
+        return new, it + 1, jnp.all(new == acc)
 
     done0 = jnp.any(w_v != w_v)
     acc, iters, done = jax.lax.while_loop(cond, body,

@@ -49,7 +49,7 @@ _PERM_TRANSPOSE = (0, 3, 2, 1, 8, 7, 6, 5, 4)
 def _mfd_kernel(acc_ref, accx_ref, w_ref,
                 p1, p2, p3, p4, p5, p6, p7, p8,
                 px_a, px_b, px_c,
-                out_ref, carry, *, bh, f, reverse):
+                out_ref, flag_ref, carry, *, bh, f, reverse):
     """One directional GS sweep on folded groups.
 
     forward: NEW side = processed row above (source outflow planes toward
@@ -64,6 +64,7 @@ def _mfd_kernel(acc_ref, accx_ref, w_ref,
     @pl.when(i == 0)
     def _():
         carry[...] = jnp.zeros(carry.shape, carry.dtype)
+        flag_ref[...] = jnp.zeros(flag_ref.shape, jnp.int32)
 
     zero = jnp.float32(0.0)
     if not reverse:
@@ -73,7 +74,8 @@ def _mfd_kernel(acc_ref, accx_ref, w_ref,
         new_planes = (p3, p4, p2)
         old_planes = (p7, p6, p8)
 
-    def row_body(k, prev):
+    def row_body(k, state):
+        prev, diff = state
         r = (bh - 1 - k) if reverse else k
         sl = (0, pl.ds(pl.multiple_of(r * f, f), f), slice(None))
         asl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
@@ -111,11 +113,19 @@ def _mfd_kernel(acc_ref, accx_ref, w_ref,
                 + _gshift_west(a_l * fd1, zero, f))  # east nbr flowing W
         new = w_l + newc + oldb + oldl
         out_ref[asl] = new
-        return jnp.concatenate(
+        return (jnp.concatenate(
             [new, new_planes[0][sl], new_planes[1][sl],
-             new_planes[2][sl]], axis=0)
+             new_planes[2][sl]], axis=0),
+            diff | (new != a_l).astype(jnp.int32))
 
-    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
+    fin, diff = jax.lax.fori_loop(
+        0, bh, row_body,
+        (carry[...], jnp.zeros((f, acc_ref.shape[-1]), jnp.int32)))
+    carry[...] = fin
+
+    @pl.when(jnp.any(diff != 0))
+    def _():
+        flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
 def _mfd_sweep(acc, w, props8, f, reverse):
@@ -154,14 +164,18 @@ def _mfd_sweep(acc, w, props8, f, reverse):
         + [plane_blk(d) for d in range(8)]
         + [plane_xblk(d) for d in old_set]
     )
-    return pl.pallas_call(
+    flag_blk = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out, flag = pl.pallas_call(
         functools.partial(_mfd_kernel, bh=bh, f=f, reverse=reverse),
-        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid=(n,),
         in_specs=in_specs,
-        out_specs=grid_blk(smap),
+        out_specs=[grid_blk(smap), flag_blk],
         scratch_shapes=[pltpu.VMEM((4 * f, L), jnp.float32)],
     )(acc, acc, w, *([props8] * 11))
+    return out, flag[0, 0]
 
 
 def _refold_T(x, f):
@@ -184,12 +198,14 @@ def _mfd_gs_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
     w_v = _fold(w_p, f)
     w_t = _fold(w_p.T, f)
 
+    # rotation-level equality convergence (per-sweep flags chatter for
+    # float proportions — see pallas_folded._accum_folded_impl note)
     def rotation(acc):
-        acc = _mfd_sweep(acc, w_v, props_p, f, reverse=False)
-        acc = _mfd_sweep(acc, w_v, props_p, f, reverse=True)
+        acc, _ = _mfd_sweep(acc, w_v, props_p, f, reverse=False)
+        acc, _ = _mfd_sweep(acc, w_v, props_p, f, reverse=True)
         at = _refold_T(acc, f)
-        at = _mfd_sweep(at, w_t, props_t, f, reverse=False)
-        at = _mfd_sweep(at, w_t, props_t, f, reverse=True)
+        at, _ = _mfd_sweep(at, w_t, props_t, f, reverse=False)
+        at, _ = _mfd_sweep(at, w_t, props_t, f, reverse=True)
         return _refold_T(at, f)
 
     def cond(state):
