@@ -203,3 +203,22 @@ def test_strahler_folded_small():
     fd = oracle.d8_flowdirs(filled)
     got = np.asarray(strahler_folded(jnp.asarray(fd), fold_pad=64))
     np.testing.assert_array_equal(got, strahler_numpy(fd))
+
+
+def test_accum_folded_irrational_weights():
+    """Arbitrary float weights: partial sums are NOT exactly
+    representable, so this pins (a) rotation-level equality convergence
+    (sound by DAG induction: once a cell's upstream values are
+    bit-stable, its recomputed sum is bit-stable) and (b) agreement with
+    the oracle queue — the case where per-sweep change flags would
+    chatter forever (see pallas_folded._accum_folded_impl)."""
+    from richdem_tpu.ops.pallas_folded import d8_accumulation_folded
+    dem = synth.perlin_dem(64, 72, seed=14, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    fd = oracle.d8_flowdirs(filled)
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.1, 3.0, size=fd.shape)
+    got = np.asarray(d8_accumulation_folded(
+        fd, weights=np.asarray(w, np.float32), **FOLD), np.float64)
+    want = oracle.d8_accumulation(fd, weights=w)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
