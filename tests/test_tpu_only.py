@@ -173,3 +173,32 @@ def test_mfd_folded_2048_vs_native():
     # f32 GS vs f64 queue: relative error grows ~sqrt(path length)·eps32
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
     assert abs(got.sum() - want.sum()) / want.sum() < 1e-5
+
+
+def test_rho8_pallas_distribution_on_hardware():
+    """The Pallas Rho8's in-kernel PRNG on real hardware: exact
+    Fairfield–Leymarie unbiasedness (P(diagonal) = θ/45°) and
+    distributional agreement with the jax.random XLA path."""
+    import math
+
+    import jax.numpy as jnp
+
+    from richdem_tpu.ops.flowdirs import _rho8_impl
+    from richdem_tpu.ops.pallas_stencils import rho8_flowdirs_pallas
+
+    h = w = 512
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    for theta_deg in (10.0, 20.0, 35.0):
+        th = math.radians(theta_deg)
+        z = -(np.cos(th) * x + np.sin(th) * y)
+        fd = np.asarray(rho8_flowdirs_pallas(jnp.asarray(z), seed=3))
+        inner = fd[2:-2, 2:-2]
+        share = (inner == 6).mean()
+        want = theta_deg / 45.0
+        assert abs(share - want) < 0.01, (theta_deg, share, want)
+        # the XLA jax.random path must land on the same distribution
+        fd2 = np.asarray(_rho8_impl(
+            jnp.asarray(z), jnp.zeros((h, w), bool),
+            jnp.float32(1.0), jax.random.PRNGKey(5), "D8"))
+        share2 = (fd2[2:-2, 2:-2] == 6).mean()
+        assert abs(share - share2) < 0.02
