@@ -55,6 +55,30 @@ def measure_cpu_baseline(terrain_fn, n=1024):
         return BASELINE_CPU_PIPELINE
 
 
+#: Where the pinned baseline figure lives (committed, so vs_baseline is
+#: comparable round over round — the live per-run measurement wobbles
+#: ±30% with host contention, VERDICT r2 weak #5).
+PINNED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE_PINNED.json")
+
+
+def pinned_baseline(terrain_fn):
+    """(cells_per_s, source): env override > committed pin > measure+pin."""
+    env = os.environ.get("BENCH_BASELINE_CELLS_S")
+    if env:
+        return float(env), "env"
+    if (os.path.exists(PINNED_PATH)
+            and not os.environ.get("BENCH_REPIN_BASELINE")):
+        with open(PINNED_PATH) as f:
+            return float(json.load(f)["cells_per_s"]), "pinned"
+    val = measure_cpu_baseline(terrain_fn)
+    with open(PINNED_PATH, "w") as f:
+        json.dump({"cells_per_s": val,
+                   "what": ("native C++ fill+flowdir+accum, 1024^2, "
+                            "best-of-3 on this host")}, f)
+    return val, "measured+pinned"
+
+
 def measure_sync_floor(jax, reps=5):
     """Fixed host-round-trip latency of the axon tunnel (block_until_ready
     does not block on this backend; a scalar materialization is the only
@@ -70,32 +94,62 @@ def measure_sync_floor(jax, reps=5):
     return best
 
 
-def pipeline_bytes_model(size, fill_rot, accum_rot, multiscale):
-    """HBM bytes moved by one pipeline step (folded Pallas kernels).
+#: Per-padded-cell HBM byte costs of the folded Pallas building blocks
+#: (f32 = 4 B; grids pad to 1024 multiples at ≥2048):
+#:   fill rotation  = 4 sweeps × (read W + read floor + write W) 12 B
+#:                    + 2 transpose refolds × 8 B = 64 B  (convergence
+#:                    rides in-kernel change flags — no equality pass)
+#:   warm start     ≈ read z + write w0 = 8 B (coarse grid is 1/64 n)
+#:   fill setup     = build floor_p + w0 ≈ 16 B
+#:   3×3 stencil    = read + write + pad copies ≈ 16 B
+#:   D8 accum rot.  = 4 sweeps × (w + fd + acc_in + acc_out) 16 B
+#:                    + 2 transpose refolds × 8 B + convergence eq 8 B
+#:                    = 88 B  (summation sweeps need the rotation-level
+#:                    equality — per-sweep flags chatter for float
+#:                    weights; the adjacent-strip fd/acc boundary groups
+#:                    ride as (f, L) blocks, <1 B/cell·rotation, ignored)
+#:   accum setup    = fd remap/transpose + w_p ≈ 24 B
+#:   D∞ accum rot.  = 4 two-tap sweeps × (w + packed + acc r/w) 16 B
+#:                    + 2 refolds × 8 B + eq 8 B = 88 B
+#:   dist rotation  = 4 masked sweeps × (w r/w 8 B + ctx 8 B) + eq 8 B
+#:                    = 72 B (flat-resolution distance fixpoints; 256-pad)
+_B_FILL_ROT, _B_WARM, _B_FILL_SETUP = 64, 8, 16
+_B_STENCIL = 16
+_B_ACCUM_ROT, _B_ACCUM_SETUP = 88, 24
+_B_DINF_ROT = 88
+_B_DIST_ROT = 72
 
-    Per padded cell (f32 = 4 B; padded to 1024 multiples at ≥2048):
-      fill rotation  = 4 sweeps × (read W + read floor + write W) 12 B
-                       + 2 transpose refolds × 8 B = 64 B  (convergence
-                       rides in-kernel change flags — no equality pass)
-      warm start     ≈ read z + write w0 = 8 B (coarse grid is 1/64 n)
-      fill setup     = build floor_p + w0 ≈ 16 B
-      D8 stencil     = read filled + write fd + pad copies ≈ 16 B
-      accum rotation = 4 sweeps × (w + fd + acc_in + acc_out) 16 B
-                       + 2 transpose refolds × 8 B + convergence eq 8 B
-                     = 88 B  (summation sweeps need the rotation-level
-                       equality — per-sweep flags chatter for float
-                       weights; the adjacent-strip fd/acc boundary
-                       groups ride as (f, L) blocks, <1 B/cell·rotation,
-                       ignored)
-      accum setup    = fd remap/transpose + w_p ≈ 24 B
-    """
+
+def _padded_cells(size):
     pad = 1024 if size >= 2048 else 256
     pc = ((size + pad - 1) // pad) * pad
-    padded = pc * pc
-    per_cell = (fill_rot * 64 + (8 if multiscale else 0) + 16
-                + 16
-                + accum_rot * 88 + 24)
-    return padded * per_cell
+    return pc * pc
+
+
+def pipeline_bytes_model(size, fill_rot, accum_rot, multiscale):
+    """HBM bytes moved by one pipeline step (see cost table above)."""
+    per_cell = (fill_rot * _B_FILL_ROT + (_B_WARM if multiscale else 0)
+                + _B_FILL_SETUP + _B_STENCIL
+                + accum_rot * _B_ACCUM_ROT + _B_ACCUM_SETUP)
+    return _padded_cells(size) * per_cell
+
+
+def fill_flats_bytes_model(size, fill_rot, dist_rot, multiscale):
+    """HBM bytes for config 2: ε-fill + D8 + flat resolution (the
+    seed/combine XLA stages ≈ z_eq/neighbor stacks ≈ 11 arrays ≈ 44 B)."""
+    per_cell = (fill_rot * _B_FILL_ROT + (_B_WARM if multiscale else 0)
+                + _B_FILL_SETUP + _B_STENCIL
+                + dist_rot * _B_DIST_ROT + 44)
+    return _padded_cells(size) * per_cell
+
+
+def dinf_twi_bytes_model(size, fill_rot, dinf_rot, multiscale):
+    """HBM bytes for config 4: fill + D∞ routing + accumulation + TWI
+    (angle stencil + two-tap pack + slope + TWI ≈ 4 stencil passes)."""
+    per_cell = (fill_rot * _B_FILL_ROT + (_B_WARM if multiscale else 0)
+                + _B_FILL_SETUP + 4 * _B_STENCIL
+                + dinf_rot * _B_DINF_ROT + _B_ACCUM_SETUP)
+    return _padded_cells(size) * per_cell
 
 
 def main():
@@ -129,6 +183,16 @@ def main():
     label = "fill+flowdir+accum"
     iter_info = {}
 
+    on_tpu = platform != "cpu"
+
+    def _fill_info(zz, eps_v):
+        """(filled, iters, converged) on either backend."""
+        if on_tpu:
+            from richdem_tpu.ops.pallas_folded import fill_fixpoint_pallas
+            return fill_fixpoint_pallas(zz, None, eps=eps_v, max_iters=256)
+        from richdem_tpu.ops.fill import fill_depressions_info
+        return fill_depressions_info(zz, eps=eps_v, max_iters=256)
+
     if config == "pipeline":
         step = make_pipeline(z.shape, eps=eps, fill_iters=256)
 
@@ -139,9 +203,13 @@ def main():
             # finishes, so a materialized value is the only honest fence.
             return float(out["accum"].sum())
 
-        out0 = step(z)
+        from richdem_tpu.pipeline import check_converged
+        out0 = check_converged(step(z))
         iter_info = {"fill_iters": int(out0["fill_iters"]),
                      "accum_rotations": int(out0["accum_rotations"])}
+        bytes_model = lambda: pipeline_bytes_model(
+            size, iter_info["fill_iters"], iter_info["accum_rotations"],
+            multiscale=size >= 4096)
     elif config == "fill_flats":
         from richdem_tpu import ops
         from richdem_tpu.ops.flats import resolve_flats
@@ -154,14 +222,23 @@ def main():
 
         @jax.jit
         def step(z):
-            filled = ops.fill_depressions(z, eps=eps_v)
+            filled, fi, fdone = _fill_info(z, eps_v)
             fd = ops.d8_flowdirs(filled)
-            return resolve_flats(filled, fd)
+            resolved, si, sdone = resolve_flats(filled, fd,
+                                                return_info=True)
+            return resolved, fi, si, fdone & sdone
 
         def run_once():
-            return float((step(z) != 0).sum())
+            return float((step(z)[0] != 0).sum())
+
+        out0 = step(z)
+        assert bool(out0[3]), "config 2 fixpoints did not converge"
+        iter_info = {"fill_iters": int(out0[1]),
+                     "flats_rotations": int(out0[2])}
+        bytes_model = lambda: fill_flats_bytes_model(
+            size, iter_info["fill_iters"], iter_info["flats_rotations"],
+            multiscale=size >= 4096)
     elif config == "dinf_twi":
-        from richdem_tpu import ops
         from richdem_tpu.methods import twi
         from richdem_tpu.ops.terrain import terrain_attribute
         label = "fill+dinf-accum+TWI"
@@ -171,14 +248,23 @@ def main():
 
         @jax.jit
         def step(z):
-            filled = ops.fill_depressions(z, eps=1e-2)
+            filled, fi, fdone = _fill_info(z, 1e-2)
             ang = dinf_flowdirs(filled)
-            acc = dinf_accumulation_from_angles(ang)
+            acc, ai, adone = dinf_accumulation_from_angles(
+                ang, return_info=True)
             slope = terrain_attribute(filled, "slope_radians")
-            return twi(acc, slope)
+            return twi(acc, slope), fi, ai, fdone & adone
 
         def run_once():
-            return abs(float(step(z)[::64, ::64].sum()))
+            return abs(float(step(z)[0][::64, ::64].sum()))
+
+        out0 = step(z)
+        assert bool(out0[3]), "config 4 fixpoints did not converge"
+        iter_info = {"fill_iters": int(out0[1]),
+                     "dinf_rotations": int(out0[2])}
+        bytes_model = lambda: dinf_twi_bytes_model(
+            size, iter_info["fill_iters"], iter_info["dinf_rotations"],
+            multiscale=size >= 4096)
     else:
         raise SystemExit(f"unknown BENCH_CONFIG {config!r}")
 
@@ -194,21 +280,20 @@ def main():
     best = min(times)
     cells_per_s = size * size / best
 
-    baseline = measure_cpu_baseline(gen)
+    baseline, baseline_source = pinned_baseline(gen)
     result = {
         "metric": (f"{label} grid-points/s "
                    f"({size}x{size} {terrain}, {platform})"),
         "value": round(cells_per_s, 1),
         "unit": "cells/s",
         "vs_baseline": round(cells_per_s / baseline, 3),
+        "baseline_cells_s": round(baseline, 1),
+        "baseline_source": baseline_source,
     }
-    if config == "pipeline" and platform != "cpu":
+    if on_tpu:
         sync = measure_sync_floor(jax)
         dev_t = max(best - sync, 1e-9)
-        nbytes = pipeline_bytes_model(size,
-                                      iter_info.get("fill_iters", 0),
-                                      iter_info.get("accum_rotations", 0),
-                                      multiscale=size >= 4096)
+        nbytes = bytes_model()
         result.update(
             sync_floor_s=round(sync, 4),
             time_s=round(best, 4),

@@ -15,8 +15,10 @@ Differences from pyrichdem, all deliberate and documented:
   ``richdem_tpu.ops`` fixpoint kernels), not a serial C++ heap;
 * ``epsilon`` fills use a fixed auto-chosen epsilon, not ``nextafter``
   chains (appendix A.2 — same drainage structure, order-independent);
-* GeoTIFF IO is a built-in minimal codec (uncompressed single-band);
-  ``.npz``/``.asc`` cover the rest.
+* GeoTIFF IO is a built-in pure-python codec (classic TIFF and BigTIFF;
+  uncompressed or DEFLATE with horizontal/float predictors; multi-band;
+  windowed reads and streamed strip writes for larger-than-RAM rasters —
+  see :mod:`richdem_tpu.io.geotiff`); ``.npz``/``.asc`` cover the rest.
 """
 
 from __future__ import annotations

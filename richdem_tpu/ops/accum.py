@@ -96,22 +96,29 @@ def flow_accumulation_from_props(props, weights=None, no_data_mask=None,
     return acc
 
 
-def dinf_accumulation_from_angles(angles, weights=None, no_data_mask=None):
+def dinf_accumulation_from_angles(angles, weights=None, no_data_mask=None,
+                                  return_info=False):
     """D∞ accumulation straight from the Tarboton angle raster.
 
     TPU: the two-tap folded GS kernel (:mod:`richdem_tpu.ops.pallas_dinf`
     — ~half the HBM traffic of the generic 8-plane path, same fixpoint).
-    Elsewhere: decoded proportions through the generic engine."""
+    Elsewhere: decoded proportions through the generic engine.
+    ``return_info`` additionally returns ``(rotations, converged)``."""
     if jax.default_backend() == "tpu":
         from richdem_tpu.ops.pallas_dinf import (dinf_accumulation_gs,
                                                  dinf_two_tap)
         code, p = dinf_two_tap(jnp.asarray(angles))
         return dinf_accumulation_gs(code, p, weights=weights,
-                                    no_data_mask=no_data_mask)
+                                    no_data_mask=no_data_mask,
+                                    return_info=return_info)
     from richdem_tpu.ops.flowdirs import proportions_from_dinf
     props = proportions_from_dinf(jnp.asarray(angles))
-    return flow_accumulation_from_props(props, weights=weights,
-                                        no_data_mask=no_data_mask)
+    acc, iters, done = accumulation_jacobi_info(props, weights)
+    if no_data_mask is not None:
+        acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
+    return acc
 
 
 # -- D8 pointer doubling ------------------------------------------------
@@ -283,8 +290,9 @@ def _d8_gs_impl(flowdirs, weights, max_rotations=64):
         return new, it + 1, jnp.all(new == acc)
 
     done0 = jnp.any(w != w)
-    acc, _, _ = jax.lax.while_loop(cond, body, (w, jnp.int32(0), done0))
-    return acc
+    acc, iters, done = jax.lax.while_loop(cond, body,
+                                          (w, jnp.int32(0), done0))
+    return acc, iters, done
 
 
 def d8_accumulation(flowdirs, weights=None, no_data_mask=None,
@@ -305,7 +313,9 @@ def d8_accumulation(flowdirs, weights=None, no_data_mask=None,
         weights = jnp.asarray(weights, jnp.float32)
     if no_data_mask is not None:
         weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
-    acc = _d8_gs_impl(fd, weights, max_rotations=max_rotations)
+    acc, _, done = _d8_gs_impl(fd, weights, max_rotations=max_rotations)
+    from richdem_tpu.ops.pallas_folded import _require_converged
+    _require_converged(done, "D8 GS accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
     return acc

@@ -43,10 +43,10 @@ def _edge_costs(allowed_into, step=1.0):
 
 
 def _dist(w0, costs, max_iters):
-    w, _, _ = minplus_fixpoint(
+    w, iters, done = minplus_fixpoint(
         w0.astype(jnp.float32), jnp.float32(-BIG), costs,
         boundary=jnp.float32(BIG), max_iters=max_iters)
-    return w
+    return w, iters, done
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -64,7 +64,8 @@ def _resolve_impl(z, fd, nodata_mask, max_iters):
 
     # 1. flat membership: flood from NO_FLOW cells across equal-z edges.
     member_cost = _edge_costs(z_eq & data[None] & nb_data)
-    reach = _dist(jnp.where(noflow, 0.0, BIG), member_cost, max_iters)
+    reach, i0, d0 = _dist(jnp.where(noflow, 0.0, BIG), member_cost,
+                          max_iters)
     in_flat = reach < _UNREACHED
 
     def nb_mask(m):
@@ -86,18 +87,19 @@ def _resolve_impl(z, fd, nodata_mask, max_iters):
     #    (real outlets = flat cells that already flow; virtual = drains).
     outlet = in_flat & (~noflow | drain)
     t_cost = _edge_costs(z_eq & (noflow & in_flat)[None] & nb_in_flat)
-    T = _dist(jnp.where(outlet, 0.0, BIG), t_cost, max_iters)
+    T, i1, d1 = _dist(jnp.where(outlet, 0.0, BIG), t_cost, max_iters)
 
     # 3. D: away-from-higher distance, seeded 1 at flat/higher boundary.
     high_seed = noflow & in_flat & jnp.any(nb_higher & nb_data, axis=0)
     d_cost = _edge_costs(
         z_eq & (noflow & in_flat)[None] & (nb_noflow & nb_in_flat))
-    D = _dist(jnp.where(high_seed, 1.0, BIG), d_cost, max_iters)
+    D, i2, d2 = _dist(jnp.where(high_seed, 1.0, BIG), d_cost, max_iters)
 
     # 4. per-flat max(D) via min-plus on -D over zero-cost flat edges.
     m_cost = _edge_costs(z_eq & in_flat[None] & nb_in_flat, step=0.0)
     d_finite = jnp.where(D < _UNREACHED, D, 0.0)
-    neg_max = _dist(jnp.where(in_flat, -d_finite, BIG), m_cost, max_iters)
+    neg_max, i3, d3 = _dist(jnp.where(in_flat, -d_finite, BIG), m_cost,
+                            max_iters)
     maxD = -neg_max
 
     # 5. combine.
@@ -116,7 +118,8 @@ def _resolve_impl(z, fd, nodata_mask, max_iters):
     new_dir = jnp.where(best > 0, (k + 1).astype(fd.dtype),
                         jnp.asarray(NO_FLOW, fd.dtype))
     resolved = jnp.where(drained & (fd == NO_FLOW), new_dir, fd)
-    return resolved, mask.astype(jnp.int32), in_flat
+    info = (i0 + i1 + i2 + i3, d0 & d1 & d2 & d3)
+    return resolved, mask.astype(jnp.int32), in_flat, info
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -167,13 +170,16 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
     nb_higher = jnp.stack([(zb > zed) & (zb < zbig) for zb in z_nb])
     high_seed = noflow & in_flat & jnp.any(nb_higher, axis=0)
 
-    T = dist_fixpoint_pallas(jnp.where(outlet, 0.0, BIG), ctx,
-                             "towards", 1.0, max_iters)
-    D = dist_fixpoint_pallas(jnp.where(high_seed, 1.0, BIG), ctx,
-                             "away", 1.0, max_iters)
+    T, i1, d1 = dist_fixpoint_pallas(jnp.where(outlet, 0.0, BIG), ctx,
+                                     "towards", 1.0, max_iters,
+                                     return_info=True)
+    D, i2, d2 = dist_fixpoint_pallas(jnp.where(high_seed, 1.0, BIG), ctx,
+                                     "away", 1.0, max_iters,
+                                     return_info=True)
     d_finite = jnp.where(D < _UNREACHED, D, 0.0)
-    neg_max = dist_fixpoint_pallas(jnp.where(in_flat, -d_finite, BIG),
-                                   ctx, "maxd", 0.0, max_iters)
+    neg_max, i3, d3 = dist_fixpoint_pallas(
+        jnp.where(in_flat, -d_finite, BIG), ctx, "maxd", 0.0, max_iters,
+        return_info=True)
     maxD = -neg_max
 
     away_term = jnp.where(D < _UNREACHED, maxD + 1.0 - D, 0.0)
@@ -191,7 +197,8 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
     new_dir = jnp.where(best > 0, (k + 1).astype(fd.dtype),
                         jnp.asarray(NO_FLOW, fd.dtype))
     resolved = jnp.where(drained & (fd == NO_FLOW), new_dir, fd)
-    return resolved, mask.astype(jnp.int32), in_flat
+    info = (i1 + i2 + i3, d1 & d2 & d3)
+    return resolved, mask.astype(jnp.int32), in_flat, info
 
 
 def _impl():
@@ -199,11 +206,21 @@ def _impl():
             else _resolve_impl)
 
 
-def resolve_flats(dem, flowdirs, no_data=None, max_iters=256):
-    """Return flow directions with flats drained (device op)."""
+def resolve_flats(dem, flowdirs, no_data=None, max_iters=256,
+                  return_info=False):
+    """Return flow directions with flats drained (device op).
+    ``return_info`` additionally returns ``(total sweep rotations,
+    converged)`` across the distance fixpoints (roofline accounting +
+    truncation guard)."""
     z = jnp.asarray(dem)
     fd = jnp.asarray(flowdirs)
-    resolved, _, _ = _impl()(z, fd, nodata_like(z, no_data), max_iters)
+    resolved, _, _, info = _impl()(z, fd, nodata_like(z, no_data),
+                                   max_iters)
+    from richdem_tpu.ops.pallas_folded import _require_converged
+    _require_converged(info[1], "flat-resolution distance sweeps",
+                       max_iters)
+    if return_info:
+        return resolved, info[0], info[1]
     return resolved
 
 
@@ -212,5 +229,6 @@ def flat_mask_and_labels_device(dem, flowdirs, no_data=None, max_iters=256):
     mask is already per-flat consistent)."""
     z = jnp.asarray(dem)
     fd = jnp.asarray(flowdirs)
-    _, mask, in_flat = _impl()(z, fd, nodata_like(z, no_data), max_iters)
+    _, mask, in_flat, _ = _impl()(z, fd, nodata_like(z, no_data),
+                                  max_iters)
     return mask, in_flat

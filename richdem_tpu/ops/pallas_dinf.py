@@ -286,7 +286,8 @@ def _dinf_gs_impl(code, p, weights, max_rotations, fold_pad=_FOLD_PAD):
 
 
 def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
-                         max_rotations=512, fold_min=None, fold_pad=None):
+                         max_rotations=512, fold_min=None, fold_pad=None,
+                         return_info=False):
     """Exact D∞ accumulation from the two-tap encoding — same
     topological-queue result as the generic MFD path at ~half the HBM
     traffic.  Small grids fall back to the generic kernel via decoded
@@ -306,11 +307,14 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
         return mfd_accumulation_gs(two_tap_props(code, p),
                                    weights=weights,
                                    no_data_mask=no_data_mask,
-                                   max_rotations=max_rotations)
-    acc, _, done = _dinf_gs_impl(code, p, weights, max_rotations,
-                                 fold_pad=fpad)
+                                   max_rotations=max_rotations,
+                                   return_info=return_info)
+    acc, iters, done = _dinf_gs_impl(code, p, weights, max_rotations,
+                                     fold_pad=fpad)
     _require_converged(done, "D-infinity two-tap accumulation",
                        max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
     return acc

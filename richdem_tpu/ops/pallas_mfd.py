@@ -224,7 +224,8 @@ def _mfd_gs_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
 
 
 def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
-                        max_rotations=512, fold_min=None, fold_pad=None):
+                        max_rotations=512, fold_min=None, fold_pad=None,
+                        return_info=False):
     """Weighted upstream accumulation from (H, W, 8) proportions — Pallas
     GS line sweeps (exact; same result as the oracle's topological queue).
     ``fold_min``/``fold_pad`` override the folded-kernel dispatch
@@ -246,13 +247,16 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
     fmin = _FOLD_MIN if fold_min is None else fold_min
     if max(h, wd) >= fmin:
         fpad = _FOLD_PAD if fold_pad is None else fold_pad
-        acc, _, done = _mfd_gs_impl(props8, weights, max_rotations,
-                                    fold_pad=fpad)
+        acc, iters, done = _mfd_gs_impl(props8, weights, max_rotations,
+                                        fold_pad=fpad)
     else:
-        acc, _, done = _mfd_gs_impl_small(props8, weights, max_rotations)
+        acc, iters, done = _mfd_gs_impl_small(props8, weights,
+                                              max_rotations)
     _require_converged(done, "MFD accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
     return acc
 
 

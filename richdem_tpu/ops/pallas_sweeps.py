@@ -488,8 +488,10 @@ def _dist_context(zed, state):
                                                st.dtype)], axis=0))
 
 
-def dist_fixpoint_pallas(w0, ctx, mode, step=1.0, max_iters=256):
-    """Iterate masked-distance rotations to convergence (monotone min)."""
+def dist_fixpoint_pallas(w0, ctx, mode, step=1.0, max_iters=256,
+                         return_info=False):
+    """Iterate masked-distance rotations to convergence (monotone min).
+    ``return_info`` additionally returns ``(iters, converged)``."""
     h, wd = w0.shape
     w_p = _pad_to(jnp.asarray(w0, jnp.float32), BIG)
 
@@ -503,5 +505,8 @@ def dist_fixpoint_pallas(w0, ctx, mode, step=1.0, max_iters=256):
         return new, it + 1, jnp.all(new == w)
 
     done0 = jnp.any(w_p != w_p)
-    w, _, _ = jax.lax.while_loop(cond, body, (w_p, jnp.int32(0), done0))
+    w, iters, done = jax.lax.while_loop(cond, body,
+                                        (w_p, jnp.int32(0), done0))
+    if return_info:
+        return w[:h, :wd], iters, done
     return w[:h, :wd]
