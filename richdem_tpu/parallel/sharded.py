@@ -125,52 +125,79 @@ def sharded_fill(dem, mesh=None, nodata_mask=None, eps=0.0,
     return run(z, mask)[:h, :w]
 
 
-def sharded_fill_twopass(dem, mesh=None, no_data=None, stats=None):
+def _shard_tiling(garr, mesh):
+    """((rows, cols), pos_of_index): the mesh tiling of a sharded array
+    and a mapper from a shard's ``.index`` slices to its (ri, ci)."""
+    hp, wp = garr.shape[:2]
+    ny, nx = mesh.devices.shape
+    th, tw = hp // ny, wp // nx
+    rows = [(i * th, (i + 1) * th) for i in range(ny)]
+    cols = [(j * tw, (j + 1) * tw) for j in range(nx)]
+
+    def pos(index):
+        r0 = index[0].start or 0
+        c0 = index[1].start or 0
+        return r0 // th, c0 // tw
+
+    return rows, cols, pos
+
+
+def _assemble(outs, garr, mesh, dtype=None):
+    """Build a global sharded array from per-(ri,ci) single-device
+    results, placed on the same devices as ``garr``'s shards."""
+    _, _, pos = _shard_tiling(garr, mesh)
+    shards = []
+    for sh in garr.addressable_shards:
+        out = outs[pos(sh.index)]
+        shards.append(jax.device_put(out, sh.device))
+    sharding = NamedSharding(mesh, P("y", "x"))
+    return jax.make_array_from_single_device_arrays(
+        garr.shape, sharding, shards)
+
+
+def sharded_fill_twopass(dem, mesh=None, no_data=None, stats=None,
+                         exchange=None):
     """Depression fill over the device-mesh tiling via the [P1]
     O(perimeter) label-graph protocol — exactly two passes, no Schwarz
     iteration (plain fill, eps = 0).
 
-    Architecture mirrors the reference's ``parallel_priority_flood``
-    (SURVEY.md §3.4) verbatim: a serial native consumer per mesh tile
-    (``native.fill_tile`` — on a pod, each host runs its own shards'
-    consumers), ONE global minimax solve on the label graph, then a
-    device-parallel apply pass ``max(local_fill, raise[label])`` over
-    the sharded arrays.  Output equals :func:`sharded_fill` /
+    TPU-resident SPMD recast of the reference's
+    ``parallel_priority_flood`` (SURVEY.md §3.4): each host runs the
+    DEVICE consumer (:mod:`richdem_tpu.parallel.consumer`) on its own
+    addressable shards — local fill + watershed labels + label-graph
+    edges all on device, only O(perimeter) ring/edge vectors on the
+    host; one global minimax solve; then a ring-Dirichlet device solve
+    per shard reproduces the global fill bit-exactly (no full-grid
+    gather anywhere).  Output equals :func:`sharded_fill` /
     ``ops.fill.fill_depressions`` — cross-validated in
     tests/test_sharded.py."""
-    from richdem_tpu.parallel.outofcore import (_tile_ranges,
-                                                twopass_fill_into)
+    from richdem_tpu.parallel.twopass import fill_twopass_run
 
     mesh = make_mesh() if mesh is None else mesh
-    dem_np = np.asarray(dem)
-    h, w = dem_np.shape
-    ny, nx = mesh.devices.shape
+    z = jnp.asarray(dem)
+    if z.dtype != jnp.float32:
+        z = z.astype(jnp.float32)
+    h, w = z.shape
     ph, pw = _mesh_pad(mesh, h, w)
     if ph or pw:
         # pad with nodata — drains, exactly like off-grid cells
         if no_data is None:
             no_data = float("nan")
-        if dem_np.dtype.kind != "f":
-            dem_np = dem_np.astype(np.float64)
-        dem_np = np.pad(dem_np, ((0, ph), (0, pw)),
-                        constant_values=no_data)
-    hp, wp = dem_np.shape
-    rows = _tile_ranges(hp, hp // ny)
-    cols = _tile_ranges(wp, wp // nx)
-    filled = np.empty((hp, wp), np.float32)
-    labels = np.empty((hp, wp), np.int64)
-    raise_ = twopass_fill_into(dem_np, filled, labels, rows, cols,
-                               no_data, stats=stats, apply_pass=False)
-    # device apply pass: per-label raise gather + max, sharded over the
-    # mesh (labels fit int32 once per-run label counts are O(perimeter))
-    table = np.where(np.isfinite(raise_), raise_, -BIG).astype(np.float32)
-    fz = _put(jnp.asarray(filled), mesh)
-    lb = _put(jnp.asarray(labels.astype(np.int32)), mesh)
-    tb = jnp.asarray(table)
-    # nodata cells carry the sentinel in `filled` and label 0 (ocean,
-    # raise = -BIG), so max() leaves them at the sentinel (NaN sentinels
-    # propagate through jnp.maximum likewise).
-    return jax.jit(lambda f, l: jnp.maximum(f, tb[l]))(fz, lb)[:h, :w]
+        z = jnp.pad(z, ((0, ph), (0, pw)),
+                    constant_values=jnp.float32(no_data))
+    zg = _put(z, mesh)
+    rows, cols, pos = _shard_tiling(zg, mesh)
+    shard_of = {pos(sh.index): sh.data for sh in zg.addressable_shards}
+    outs = {}
+    fill_twopass_run(lambda ri, ci: shard_of[(ri, ci)],
+                     lambda ri, ci, filled: outs.__setitem__((ri, ci),
+                                                             filled),
+                     rows, cols, no_data=no_data, stats=stats,
+                     local_tiles=sorted(shard_of), exchange=exchange)
+    out = _assemble(outs, zg, mesh)
+    # (crop only when padded: eager slicing needs full addressability,
+    # which multi-process runs don't have — they use divisible grids)
+    return out[:h, :w] if (ph or pw) else out
 
 
 def _stencil_sharded(mesh, z, mask, core):
@@ -231,7 +258,7 @@ def _local_accum_solve(fd, w_eff, max_rotations):
         from richdem_tpu.ops.pallas_folded import d8_accumulation_gs
         return d8_accumulation_gs(fd, weights=w_eff,
                                   max_rotations=max_rotations)
-    return accum_ops._d8_gs_impl(fd, w_eff, max_rotations=max_rotations)
+    return accum_ops._d8_gs_impl(fd, w_eff, max_rotations=max_rotations)[0]
 
 
 def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
@@ -310,37 +337,46 @@ def sharded_accumulation_d8(flowdirs, mesh=None, weights=None,
 
 
 def sharded_accumulation_d8_twopass(flowdirs, mesh=None, weights=None,
-                                    no_data_mask=None, stats=None):
+                                    no_data_mask=None, stats=None,
+                                    exchange=None):
     """D8 accumulation over the device-mesh tiling via the [P2]
     O(perimeter) two-pass perimeter-link protocol — exactly two local
-    solves per tile (no Schwarz iteration), device kernels for both
-    passes and the link computation, host topological sweep over the
-    O(perimeter) exit graph.  Output equals
-    :func:`sharded_accumulation_d8` / the topological queue."""
-    from richdem_tpu.parallel.outofcore import (_tile_ranges,
-                                                twopass_accum_into)
+    solves per shard (no Schwarz iteration), everything on device:
+    local accumulations, the successor-resolve link computation, and
+    the pass-2 replay run per addressable shard; the host sees only the
+    O(perimeter) ring vectors and the exit-graph topological sweep (no
+    full-grid gather).  Output equals :func:`sharded_accumulation_d8` /
+    the topological queue."""
+    from richdem_tpu.parallel.twopass import accum_twopass_run
 
     mesh = make_mesh() if mesh is None else mesh
-    fd = np.asarray(flowdirs)
+    fd = jnp.asarray(flowdirs).astype(jnp.int8)
     h, w = fd.shape
-    ny, nx = mesh.devices.shape
     ph, pw = _mesh_pad(mesh, h, w)
-    wt = (np.ones((h, w), np.float32) if weights is None
-          else np.asarray(weights, np.float32))
+    wt = (jnp.ones((h, w), jnp.float32) if weights is None
+          else jnp.asarray(weights, jnp.float32))
     if no_data_mask is not None:
-        wt = np.where(np.asarray(no_data_mask), 0.0, wt)
+        wt = jnp.where(jnp.asarray(no_data_mask), 0.0, wt)
     if ph or pw:
-        fd = np.pad(fd, ((0, ph), (0, pw)), constant_values=-1)
-        wt = np.pad(wt, ((0, ph), (0, pw)))
-    hp, wp = fd.shape
-    rows = _tile_ranges(hp, hp // ny)
-    cols = _tile_ranges(wp, wp // nx)
-    acc = np.empty((hp, wp), np.float32)
-    twopass_accum_into(fd, wt, acc, rows, cols, stats)
-    out = jnp.asarray(acc[:h, :w])
+        fd = jnp.pad(fd, ((0, ph), (0, pw)), constant_values=-1)
+        wt = jnp.pad(wt, ((0, ph), (0, pw)))
+    fd_g = _put(fd, mesh)
+    wt_g = _put(wt, mesh)
+    rows, cols, pos = _shard_tiling(fd_g, mesh)
+    fd_of = {pos(sh.index): sh.data for sh in fd_g.addressable_shards}
+    wt_of = {pos(sh.index): sh.data for sh in wt_g.addressable_shards}
+    outs = {}
+    accum_twopass_run(lambda ri, ci: fd_of[(ri, ci)],
+                      lambda ri, ci: wt_of[(ri, ci)],
+                      lambda ri, ci, a: outs.__setitem__((ri, ci), a),
+                      rows, cols, fd_g.shape, stats=stats,
+                      local_tiles=sorted(fd_of), exchange=exchange)
+    out = _assemble(outs, fd_g, mesh)
+    if ph or pw:
+        out = out[:h, :w]
     if no_data_mask is not None:
         out = jnp.where(jnp.asarray(no_data_mask), 0.0, out)
-    return _put(out, mesh)
+    return out
 
 
 def _local_mfd_solve(props, w_eff, max_rotations):

@@ -44,9 +44,9 @@ def worker(idx: int) -> None:
     import jax.numpy as jnp
 
     total = float(jnp.sum(out["accum"]))
-    if idx == 0:
-        from richdem_tpu import oracle
+    from richdem_tpu import oracle
 
+    if idx == 0:
         filled = oracle.priority_flood_epsilon(dem, eps=1e-3,
                                                dtype=np.float64)
         fd = oracle.d8_flowdirs(filled)
@@ -54,6 +54,35 @@ def worker(idx: int) -> None:
         ok = abs(total - want) / want < 1e-6
         print(f"MULTIPROCESS_RESULT ok={ok} got={total} want={want}",
               flush=True)
+
+    # ---- [P1]/[P2] two-pass protocols across processes: each process
+    # runs the device consumers for ITS OWN shards, the O(perimeter)
+    # payloads ride a collective (multihost_exchange), and each process
+    # validates its own shards against the serial oracle — the
+    # reference's mpirun-equivalence test (SURVEY.md §4 item 2).
+    from richdem_tpu.parallel.sharded import (
+        sharded_accumulation_d8_twopass, sharded_fill_twopass)
+    from richdem_tpu.parallel.twopass import multihost_exchange
+
+    two = sharded_fill_twopass(dem, mesh=mesh,
+                               exchange=multihost_exchange)
+    want_fill = oracle.priority_flood_fill(dem.astype(np.float64))
+    ok_fill = all(
+        np.allclose(np.asarray(sh.data, np.float64),
+                    want_fill[sh.index], rtol=0, atol=1e-5)
+        for sh in two.addressable_shards)
+    print(f"TWOPASS_FILL_RESULT ok={ok_fill} p={idx}", flush=True)
+
+    fd_np = oracle.d8_flowdirs(
+        oracle.priority_flood_epsilon(dem, eps=1e-3, dtype=np.float64))
+    acc2 = sharded_accumulation_d8_twopass(fd_np, mesh=mesh,
+                                           exchange=multihost_exchange)
+    want_acc = oracle.d8_accumulation(fd_np)
+    ok_acc = all(
+        np.allclose(np.asarray(sh.data, np.float64), want_acc[sh.index],
+                    rtol=1e-6)
+        for sh in acc2.addressable_shards)
+    print(f"TWOPASS_ACCUM_RESULT ok={ok_acc} p={idx}", flush=True)
     jax.distributed.shutdown()
 
 
@@ -67,12 +96,17 @@ def main() -> int:
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(NPROC)]
     ok = False
+    fill_ok = accum_ok = 0
     for p in procs:
         out, _ = p.communicate(timeout=600)
         if "MULTIPROCESS_RESULT ok=True" in out:
             ok = True
+        fill_ok += out.count("TWOPASS_FILL_RESULT ok=True")
+        accum_ok += out.count("TWOPASS_ACCUM_RESULT ok=True")
         if p.returncode != 0:
             print(out[-3000:])
+    ok = ok and fill_ok == NPROC and accum_ok == NPROC
+    print(f"twopass fill {fill_ok}/{NPROC} accum {accum_ok}/{NPROC}")
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
