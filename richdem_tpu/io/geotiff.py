@@ -1,21 +1,27 @@
-"""Pure-python GeoTIFF codec: windowed reads, deflate, multi-band.
+"""Pure-python GeoTIFF codec: windowed reads, streamed writes, BigTIFF.
 
 Replaces the reference's GDAL dependency for DEM tiles (SURVEY.md §2.1
 Array2D row: GDAL *windowed* load feeds the tiled programs; §7 hard-part
 7: "ship npy/ASCII IO and a minimal GeoTIFF codec").  Supports:
 
-* reading: classic TIFF, little/big endian, strip- or tile-organized,
-  uncompressed (1) or DEFLATE (8 / legacy 32946) with horizontal (2) or
-  floating-point (3) predictors, any standard integer/float width,
-  multi-band chunky rasters (``band=`` selects one), GeoTIFF
-  ModelPixelScale + ModelTiepoint → geotransform, GDAL_NODATA;
+* reading: classic TIFF **and BigTIFF**, little/big endian, strip- or
+  tile-organized, uncompressed (1), DEFLATE (8 / legacy 32946), LZW (5)
+  or PackBits (32773), with horizontal (2) or floating-point (3)
+  predictors, any standard integer/float width, multi-band chunky
+  rasters (``band=`` selects one), GeoTIFF ModelPixelScale +
+  ModelTiepoint → geotransform, GDAL_NODATA;
 * **windowed reading** without loading the file: :class:`GeoTIFFWindow`
   parses only the IFD and decodes just the strips/tiles overlapping a
   requested window — this is what lets ``out_of_core_*`` stream a
   compressed GeoTIFF larger than RAM through the chip;
 * writing: little-endian, single band, strip-organized, uncompressed or
-  ``compress="deflate"``, with geotransform + nodata +
-  PROCESSING_HISTORY.
+  ``compress="deflate"``, classic or BigTIFF (``bigtiff="auto"`` trips
+  past the 4 GB classic offset cap), with geotransform + nodata +
+  PROCESSING_HISTORY;
+* **streamed writing**: :class:`GeoTIFFStripWriter` takes row bands as
+  they are produced (the out-of-core drivers' tile rows), holding only
+  one strip in RAM — the IFD is pre-sized and the strip offset/count
+  arrays are patched at :meth:`~GeoTIFFStripWriter.close`.
 """
 
 from __future__ import annotations
@@ -27,7 +33,8 @@ import numpy as np
 
 from richdem_tpu.grid import rdarray, DEFAULT_GEOTRANSFORM
 
-__all__ = ["load_geotiff", "save_geotiff", "GeoTIFFWindow"]
+__all__ = ["load_geotiff", "save_geotiff", "GeoTIFFWindow",
+           "GeoTIFFStripWriter"]
 
 # TIFF tag ids
 _IMAGE_WIDTH = 256
@@ -59,29 +66,98 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 
 _DEFLATE = (8, 32946)
+_LZW = 5
+_PACKBITS = 32773
 
 
-def _read_entries(f, endian, offset):
+def _lzw_decode(data):
+    """TIFF-flavor LZW (MSB-first codes, early change)."""
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev = None
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+    pos = 0
+    n = len(data)
+    while True:
+        while bitcnt < width and pos < n:
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        if bitcnt < width:
+            break
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == 256:                      # clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:                      # EOI
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:                                # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early-change: the writer widens after ASSIGNING code 2^w - 2,
+        # and the reader's table lags one entry behind the writer's
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data):
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += data[i:i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _read_entries(f, endian, offset, big=False):
+    """Parse one IFD (classic or BigTIFF) into {tag: python value}."""
     f.seek(offset)
-    (count,) = struct.unpack(endian + "H", f.read(2))
-    body = f.read(count * 12 + 4)
+    if big:
+        (count,) = struct.unpack(endian + "Q", f.read(8))
+        esz, inline, cnt_fmt, off_fmt = 20, 8, "Q", "Q"
+    else:
+        (count,) = struct.unpack(endian + "H", f.read(2))
+        esz, inline, cnt_fmt, off_fmt = 12, 4, "I", "I"
+    body = f.read(count * esz + (8 if big else 4))
     entries = {}
     deferred = []
     for i in range(count):
-        tag, typ, n = struct.unpack_from(endian + "HHI", body, i * 12)
+        tag, typ = struct.unpack_from(endian + "HH", body, i * esz)
+        (n,) = struct.unpack_from(endian + cnt_fmt, body, i * esz + 4)
         if typ not in _TYPE_FMT:
             continue
         size = _TYPE_SIZE[typ] * n
-        if size <= 4:
-            raw = body[i * 12 + 8:i * 12 + 8 + size]
+        val_at = i * esz + 4 + struct.calcsize(cnt_fmt)
+        if size <= inline:
+            raw = body[val_at:val_at + size]
             entries[tag] = (typ, n, raw)
         else:
-            (val_off,) = struct.unpack_from(endian + "I", body, i * 12 + 8)
+            (val_off,) = struct.unpack_from(endian + off_fmt, body, val_at)
             deferred.append((tag, typ, n, val_off, size))
     for tag, typ, n, val_off, size in deferred:
         f.seek(val_off)
         entries[tag] = (typ, n, f.read(size))
-    (next_ifd,) = struct.unpack_from(endian + "I", body, count * 12)
+    (next_ifd,) = struct.unpack_from(endian + off_fmt, body, count * esz)
 
     out = {}
     for tag, (typ, n, raw) in entries.items():
@@ -137,20 +213,30 @@ class GeoTIFFWindow:
             self._e = ">"
         else:
             raise ValueError("not a TIFF file")
-        magic, ifd_off = struct.unpack(self._e + "HI", head[2:8])
-        if magic != 42:
-            raise ValueError(f"unsupported TIFF magic {magic} (BigTIFF?)")
-        tags, _ = _read_entries(self._f, self._e, ifd_off)
+        (magic,) = struct.unpack(self._e + "H", head[2:4])
+        if magic == 42:
+            (ifd_off,) = struct.unpack(self._e + "I", head[4:8])
+            big = False
+        elif magic == 43:  # BigTIFF
+            offsize, _zero = struct.unpack(self._e + "HH", head[4:8])
+            if offsize != 8:
+                raise ValueError(f"BigTIFF offset size {offsize}")
+            (ifd_off,) = struct.unpack(self._e + "Q", self._f.read(8))
+            big = True
+        else:
+            raise ValueError(f"unsupported TIFF magic {magic}")
+        tags, _ = _read_entries(self._f, self._e, ifd_off, big=big)
         self._tags = tags
+        self.bigtiff = big
 
         self.width = tags[_IMAGE_WIDTH][0]
         self.height = tags[_IMAGE_LENGTH][0]
         self.shape = (self.height, self.width)
         self._comp = tags.get(_COMPRESSION, [1])[0]
-        if self._comp not in (1,) + _DEFLATE:
+        if self._comp not in (1, _LZW, _PACKBITS) + _DEFLATE:
             raise ValueError(
                 f"unsupported TIFF compression {self._comp}; this codec "
-                "reads uncompressed or DEFLATE GeoTIFFs")
+                "reads uncompressed, DEFLATE, LZW or PackBits GeoTIFFs")
         self._pred = tags.get(_PREDICTOR, [1])[0]
         self._spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
         if self._spp > 1 and tags.get(_PLANAR_CONFIG, [1])[0] != 1:
@@ -208,6 +294,10 @@ class GeoTIFFWindow:
                            * self.dtype.itemsize)
         if self._comp in _DEFLATE:
             raw = zlib.decompress(raw)
+        elif self._comp == _LZW:
+            raw = _lzw_decode(raw)
+        elif self._comp == _PACKBITS:
+            raw = _packbits_decode(raw)
         n = rows * cols * self._spp
         flat = np.frombuffer(raw, dtype=self._file_dtype, count=n)
         block = flat.reshape(rows, cols * self._spp).astype(
@@ -287,121 +377,207 @@ def _np_sample_format(dtype):
     return {"u": 1, "i": 2, "f": 3}[dtype.kind]
 
 
-def save_geotiff(path, rd, compress=None, rows_per_strip=None):
+class GeoTIFFStripWriter:
+    """Streamed single-band GeoTIFF writer: append row bands as they are
+    produced, O(strip) memory, classic or BigTIFF.
+
+    The header + IFD are written up front with PRE-SIZED strip
+    offset/count arrays (their lengths are known from the shape even
+    though compressed sizes are not); strip data is appended behind
+    them, and :meth:`close` seeks back to patch the two arrays — the
+    streamed analog of the reference's ``saveGDAL`` (SURVEY.md §2.1
+    Array2D save row; VERDICT r2 missing #3).
+
+    ``bigtiff``: True, False, or ``"auto"`` = BigTIFF when the
+    *uncompressed* payload could cross the classic 4 GB offset cap.
+    """
+
+    def __init__(self, path, shape, dtype, compress=None,
+                 rows_per_strip=None, geotransform=None, no_data=None,
+                 projection="", description="richdem_tpu",
+                 bigtiff="auto"):
+        if compress not in (None, "deflate"):
+            raise ValueError(f"unsupported compression {compress!r}")
+        self.height, self.width = int(shape[0]), int(shape[1])
+        self.dtype = np.dtype(dtype).newbyteorder("<")
+        if self.dtype.kind not in "uif":
+            raise ValueError(f"cannot write dtype {dtype} to GeoTIFF")
+        self._compress = compress
+        if rows_per_strip is None:
+            rows_per_strip = max(1, min(
+                self.height,
+                (4 << 20) // max(self.width * self.dtype.itemsize, 1)))
+        self._rps = int(rows_per_strip)
+        self._nstrips = -(-self.height // self._rps)
+        raw_bytes = self.height * self.width * self.dtype.itemsize
+        if bigtiff == "auto":
+            bigtiff = raw_bytes > (1 << 32) - (1 << 25)
+        self.bigtiff = bool(bigtiff)
+        gt = geotransform or DEFAULT_GEOTRANSFORM
+
+        big = self.bigtiff
+        off_typ, off_fmt = (16, "Q") if big else (4, "I")
+        entries = []  # (tag, type, count, payload bytes)
+
+        def tag_short(tag, val):
+            entries.append((tag, 3, 1, struct.pack("<H", val)))
+
+        def tag_long(tag, val):
+            entries.append((tag, 4, 1, struct.pack("<I", val)))
+
+        def tag_doubles(tag, vals):
+            entries.append((tag, 12, len(vals),
+                            struct.pack("<" + "d" * len(vals), *vals)))
+
+        def tag_ascii(tag, s):
+            entries.append((tag, 2, len(s), bytes(s)))
+
+        tag_long(_IMAGE_WIDTH, self.width)
+        tag_long(_IMAGE_LENGTH, self.height)
+        tag_short(_BITS_PER_SAMPLE, self.dtype.itemsize * 8)
+        tag_short(_COMPRESSION, 8 if compress else 1)
+        tag_short(_PHOTOMETRIC, 1)  # BlackIsZero
+        tag_ascii(_IMAGE_DESCRIPTION,
+                  (description or "richdem_tpu").encode("ascii",
+                                                        "replace") + b"\0")
+        entries.append((_STRIP_OFFSETS, off_typ, self._nstrips,
+                        b"\0" * (struct.calcsize(off_fmt)
+                                 * self._nstrips)))
+        tag_short(_SAMPLES_PER_PIXEL, 1)
+        tag_long(_ROWS_PER_STRIP, self._rps)
+        entries.append((_STRIP_BYTE_COUNTS, off_typ, self._nstrips,
+                        b"\0" * (struct.calcsize(off_fmt)
+                                 * self._nstrips)))
+        tag_short(_PLANAR_CONFIG, 1)
+        tag_short(_SAMPLE_FORMAT, _np_sample_format(self.dtype))
+        tag_doubles(_MODEL_PIXEL_SCALE, [abs(gt[1]), abs(gt[5]), 0.0])
+        tag_doubles(_MODEL_TIEPOINT, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+        # Minimal GeoKey directory: version only (projection strings are
+        # kept in GeoAsciiParams verbatim).
+        entries.append((_GEO_KEY_DIRECTORY, 3, 4,
+                        struct.pack("<4H", 1, 1, 0, 0)))
+        if projection:
+            tag_ascii(_GEO_ASCII_PARAMS,
+                      projection.encode("ascii", "replace") + b"\0")
+        if no_data is not None:
+            tag_ascii(_GDAL_NODATA, f"{float(no_data):g}".encode() + b"\0")
+        entries.sort(key=lambda e: e[0])
+
+        n = len(entries)
+        inline = 8 if big else 4
+        esz = 20 if big else 12
+        head_len = 16 if big else 8
+        ifd_size = ((8 if big else 2) + n * esz + (8 if big else 4))
+        extra_off = head_len + ifd_size
+        extra = bytearray()
+        packed = []
+        self._patch_pos = {}  # tag -> absolute file offset of its array
+        for tag, typ, count, payload in entries:
+            if big:
+                head = struct.pack("<HHQ", tag, typ, count)
+            else:
+                head = struct.pack("<HHI", tag, typ, count)
+            if len(payload) <= inline:
+                if tag in (_STRIP_OFFSETS, _STRIP_BYTE_COUNTS):
+                    # inline arrays live inside the IFD entry itself
+                    self._patch_pos[tag] = (head_len + (8 if big else 2)
+                                            + len(packed) * esz
+                                            + len(head))
+                packed.append(head + payload
+                              + b"\0" * (inline - len(payload)))
+            else:
+                pos = extra_off + len(extra)
+                if tag in (_STRIP_OFFSETS, _STRIP_BYTE_COUNTS):
+                    self._patch_pos[tag] = pos
+                packed.append(head + struct.pack("<" + off_fmt, pos))
+                extra += payload
+                if len(extra) % 2:
+                    extra += b"\0"
+
+        self._f = open(path, "wb")
+        if big:
+            self._f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0,
+                                              head_len))
+            self._f.write(struct.pack("<Q", n))
+        else:
+            self._f.write(b"II" + struct.pack("<HI", 42, head_len))
+            self._f.write(struct.pack("<H", n))
+        self._f.writelines(packed)
+        self._f.write(struct.pack("<" + off_fmt, 0))  # no next IFD
+        self._f.write(bytes(extra))
+        self._off_fmt = off_fmt
+        self._offsets = []
+        self._counts = []
+        self._buf = np.empty((0, self.width), self.dtype)
+        self._rows_written = 0
+        self.path = path
+
+    def write_rows(self, rows):
+        """Append a band of rows (any height; buffered to strips)."""
+        rows = np.asarray(rows)
+        if rows.ndim != 2 or rows.shape[1] != self.width:
+            raise ValueError(f"band shape {rows.shape} != (*, "
+                             f"{self.width})")
+        rows = rows.astype(self.dtype, copy=False)
+        self._buf = (rows if self._buf.shape[0] == 0
+                     else np.concatenate([self._buf, rows]))
+        while self._buf.shape[0] >= self._rps:
+            self._emit(self._buf[:self._rps])
+            self._buf = self._buf[self._rps:]
+
+    def _emit(self, strip):
+        raw = np.ascontiguousarray(strip).tobytes()
+        if self._compress:
+            raw = zlib.compress(raw, 6)
+        self._offsets.append(self._f.tell())
+        self._counts.append(len(raw))
+        self._f.write(raw)
+        self._rows_written += strip.shape[0]
+
+    def close(self):
+        if self._buf.shape[0]:
+            self._emit(self._buf)
+            self._buf = self._buf[:0]
+        if self._rows_written != self.height:
+            raise ValueError(
+                f"GeoTIFFStripWriter closed after {self._rows_written} of "
+                f"{self.height} rows")
+        assert len(self._offsets) == self._nstrips
+        for tag, vals in ((_STRIP_OFFSETS, self._offsets),
+                          (_STRIP_BYTE_COUNTS, self._counts)):
+            self._f.seek(self._patch_pos[tag])
+            self._f.write(struct.pack(
+                "<" + self._off_fmt * len(vals), *vals))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:
+            self._f.close()
+
+
+def save_geotiff(path, rd, compress=None, rows_per_strip=None,
+                 bigtiff="auto"):
     """Write a single-band GeoTIFF; ``compress="deflate"`` enables
-    per-strip zlib (Compression=8, no predictor)."""
+    per-strip zlib (Compression=8, no predictor); BigTIFF automatic
+    past the classic 4 GB cap (rides :class:`GeoTIFFStripWriter`)."""
     if not isinstance(rd, rdarray):
         rd = rdarray(rd)
-    if compress not in (None, "deflate"):
-        raise ValueError(f"unsupported compression {compress!r}")
-    arr = np.ascontiguousarray(rd.np())
-    if arr.dtype.kind not in "uif":
-        raise ValueError(f"cannot write dtype {arr.dtype} to GeoTIFF")
-    arr = arr.astype(arr.dtype.newbyteorder("<"))
-    height, width = arr.shape
-    gt = rd.geotransform
-    desc = (rd.metadata.get("PROCESSING_HISTORY", "") or "richdem_tpu")
-    desc_b = desc.encode("ascii", "replace") + b"\0"
-    nodata_b = (b"" if rd.no_data is None
-                else f"{float(rd.no_data):g}".encode() + b"\0")
-
-    if rows_per_strip is None:
-        rows_per_strip = height if compress is None else max(
-            1, min(height, (1 << 20) // max(width * arr.dtype.itemsize, 1)))
-    strips = []
-    for y0 in range(0, height, rows_per_strip):
-        raw = arr[y0:y0 + rows_per_strip].tobytes()
-        strips.append(zlib.compress(raw, 6) if compress else raw)
-
-    entries = []  # (tag, type, count, packed-or-bytes)
-
-    def tag_short(tag, val):
-        entries.append((tag, 3, 1, struct.pack("<HH", val, 0)))
-
-    def tag_long(tag, val):
-        entries.append((tag, 4, 1, struct.pack("<I", val)))
-
-    def tag_longs(tag, vals):
-        entries.append((tag, 4, len(vals),
-                        struct.pack("<" + "I" * len(vals), *vals)))
-
-    def tag_doubles(tag, vals):
-        entries.append((tag, 12, len(vals),
-                        struct.pack("<" + "d" * len(vals), *vals)))
-
-    def tag_ascii(tag, b):
-        entries.append((tag, 2, len(b), b))
-
-    tag_long(_IMAGE_WIDTH, width)
-    tag_long(_IMAGE_LENGTH, height)
-    tag_short(_BITS_PER_SAMPLE, arr.dtype.itemsize * 8)
-    tag_short(_COMPRESSION, 8 if compress else 1)
-    tag_short(_PHOTOMETRIC, 1)  # BlackIsZero
-    tag_ascii(_IMAGE_DESCRIPTION, desc_b)
-    tag_longs(_STRIP_OFFSETS, [0] * len(strips))  # patched below
-    tag_short(_SAMPLES_PER_PIXEL, 1)
-    tag_long(_ROWS_PER_STRIP, rows_per_strip)
-    tag_longs(_STRIP_BYTE_COUNTS, [len(s) for s in strips])
-    tag_short(_PLANAR_CONFIG, 1)
-    tag_short(_SAMPLE_FORMAT, _np_sample_format(arr.dtype))
-    tag_doubles(_MODEL_PIXEL_SCALE, [abs(gt[1]), abs(gt[5]), 0.0])
-    tag_doubles(_MODEL_TIEPOINT, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
-    # Minimal GeoKey directory: version only (projection strings are kept
-    # in GeoAsciiParams verbatim).
-    entries.append((_GEO_KEY_DIRECTORY, 3, 4,
-                    struct.pack("<4H", 1, 1, 0, 0)))
-    if rd.projection:
-        tag_ascii(_GEO_ASCII_PARAMS,
-                  rd.projection.encode("ascii", "replace") + b"\0")
-    if nodata_b:
-        tag_ascii(_GDAL_NODATA, nodata_b)
-
-    entries.sort(key=lambda e: e[0])
-    n = len(entries)
-    ifd_offset = 8
-    ifd_size = 2 + n * 12 + 4
-    extra_offset = ifd_offset + ifd_size
-    extra = bytearray()
-    packed_entries = []
-    value_pos = {}
-    for tag, typ, count, payload in entries:
-        if len(payload) <= 4:
-            val = payload + b"\0" * (4 - len(payload))
-            value_pos[tag] = None
-        else:
-            value_pos[tag] = extra_offset + len(extra)
-            val = struct.pack("<I", extra_offset + len(extra))
-            extra += payload
-            if len(extra) % 2:
-                extra += b"\0"
-        packed_entries.append(struct.pack("<HHI", tag, typ, count) + val)
-
-    data_offset = extra_offset + len(extra)
-    offsets = []
-    pos = data_offset
-    for s in strips:
-        offsets.append(pos)
-        pos += len(s)
-    # patch strip offsets (inline when 1 strip, else in the extra area)
-    offs_payload = struct.pack("<" + "I" * len(offsets), *offsets)
-    for i, (tag, typ, count, payload) in enumerate(entries):
-        if tag == _STRIP_OFFSETS:
-            if value_pos[tag] is None:
-                packed_entries[i] = (struct.pack("<HHI", tag, typ, count)
-                                     + offs_payload
-                                     + b"\0" * (4 - len(offs_payload)))
-            else:
-                vp = value_pos[tag] - extra_offset
-                extra[vp:vp + len(offs_payload)] = offs_payload
-                packed_entries[i] = (struct.pack("<HHI", tag, typ, count)
-                                     + struct.pack("<I", value_pos[tag]))
-
-    with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd_offset))
-        f.write(struct.pack("<H", n))
-        f.writelines(packed_entries)
-        f.write(struct.pack("<I", 0))  # no next IFD
-        f.write(bytes(extra))
-        for s in strips:
-            f.write(s)
+    arr = rd.np()
+    if rows_per_strip is None and compress is None:
+        rows_per_strip = arr.shape[0]
+    w = GeoTIFFStripWriter(
+        path, arr.shape, arr.dtype, compress=compress,
+        rows_per_strip=rows_per_strip, geotransform=rd.geotransform,
+        no_data=rd.no_data, projection=rd.projection or "",
+        description=(rd.metadata.get("PROCESSING_HISTORY", "")
+                     or "richdem_tpu"), bigtiff=bigtiff)
+    step = max(1, w._rps)
+    for y0 in range(0, arr.shape[0], step):
+        w.write_rows(arr[y0:y0 + step])
+    w.close()
     return path
