@@ -1,0 +1,345 @@
+"""Scan-GS accumulation sweeps: 2 sweeps per rotation, no transposes.
+
+The folded kernels (:mod:`richdem_tpu.ops.pallas_folded`) rotate through
+4 directional sweeps plus 2 transpose refolds because a row sweep has no
+within-row propagation — horizontal runs only resolve in the transposed
+pass, and rotation counts are terrain-bound (D8 ~5-9, D∞ ~11-14, Quinn
+~100 at 2048²; BASELINE.md r2 accounting).
+
+Here each sweep ALSO resolves BOTH within-row directions with NEW
+values via associative affine prefix scans: the in-row recurrences
+
+    newE[j] = base[j] + gE[j] · newE[j-1],   gE[j] = [fd[j-1] = E]
+    newW[j] = base[j] + gW[j] · newW[j+1],   gW[j] = [fd[j+1] = W]
+
+are compositions of affine maps ``x → a·x + b``, so a Hillis–Steele
+scan (log₂ W generalized lane shifts over the folded (f, L) row group)
+evaluates each whole row exactly.  The two are INDEPENDENT — an E-chain
+feeding a W-chain inside one row would require the 2-cycle
+``fd[j] = E ∧ fd[j+1] = W``, impossible on an acyclic flow raster — so
+they combine additively: ``new = newE + newW − base``.
+
+A forward sweep therefore handles {S, SE, SW, E, W} with new values
+(row above via the strip carry, both laterals via the scans) and an
+upward sweep {N, NE, NW, E, W}: a rotation is TWO pallas calls, needs
+no transposed layouts (no refolds, no remapped fd copies), and
+converges in O(vertical direction alternations) rotations — a
+serpentine path threading every cell resolves in ONE forward sweep
+where the 4-sweep folded kernels needed one rotation per row pair.
+
+The affine-map coefficients are floats, so the same kernel shape extends
+to fractional taps (D∞ two-tap, generic MFD — ``a = p_E[j-1]``).
+Convergence stays a rotation-level equality (summation sweeps regroup
+float adds; per-sweep flags chatter — see pallas_folded notes).
+
+Cites: reference ``methods/flow_accumulation_generic.hpp`` semantics
+(SURVEY.md §2.2 generic accumulation row, appendix A.6); the scan is the
+TPU-native replacement for its topological queue.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from richdem_tpu.ops.pallas_folded import (_F, _FOLD_MIN, _FOLD_PAD,
+                                           _fold, _fold_strip_height,
+                                           _iotas, _require_converged,
+                                           _strip_maps, _unfold)
+from richdem_tpu.ops.pallas_sweeps import _pad_to
+
+__all__ = ["d8_accumulation_scan", "dinf_accumulation_scan"]
+
+
+def _shift_fwd(x, k, fill):
+    """Flattened row-major shift: out[flat j] = x[j-k] over the (f, L)
+    group, ``fill`` for j < k.  k static, 1 ≤ k < f·L."""
+    f, L = x.shape
+    s, l = divmod(k, L)
+    lane, sub = _iotas(x.shape)
+    if l:
+        rolled = pltpu.roll(x, l, axis=1)
+        a = pltpu.roll(rolled, s, axis=0) if s else rolled
+        b = pltpu.roll(rolled, (s + 1) % f, axis=0)
+        out = jnp.where(lane >= l, a, b)
+    else:
+        out = pltpu.roll(x, s, axis=0)
+    flat = sub * L + lane
+    return jnp.where(flat >= k, out, fill)
+
+
+def _shift_rev(x, k, fill):
+    """out[flat j] = x[j+k]; ``fill`` for j ≥ f·L − k."""
+    f, L = x.shape
+    s, l = divmod(k, L)
+    lane, sub = _iotas(x.shape)
+    if l:
+        rolled = pltpu.roll(x, L - l, axis=1)
+        a = pltpu.roll(rolled, (f - s) % f, axis=0)
+        b = pltpu.roll(rolled, (f - s - 1) % f, axis=0)
+        out = jnp.where(lane < L - l, a, b)
+    else:
+        out = pltpu.roll(x, (f - s) % f, axis=0) if s else x
+    flat = sub * L + lane
+    return jnp.where(flat < f * L - k, out, fill)
+
+
+def _affine_scan(gate, base, reverse):
+    """Solve new[j] = base[j] + gate[j]·new[j∓1] exactly (row-local).
+
+    Hillis–Steele composition of affine maps (a, b): after log₂(f·L)
+    doubling steps, b carries the full-prefix result (x₀ = 0 beyond the
+    row edge)."""
+    f, L = gate.shape
+    w = f * L
+    shift = _shift_rev if reverse else _shift_fwd
+    a, b = gate, base
+    d = 1
+    while d < w:
+        b = a * shift(b, d, 0.0) + b
+        a = a * shift(a, d, 1.0)
+        d *= 2
+    return b
+
+
+def _d8_tap(fd, target):
+    return (fd == target).astype(jnp.float32)
+
+
+def _dinf_tap(v, target):
+    """Two-tap weight toward D8 direction ``target`` from the packed
+    field ``v = code + p/2`` (see ops.pallas_dinf)."""
+    fl = jnp.floor(v)
+    code = fl.astype(jnp.int32)
+    p = (v - fl) * 2.0
+    nxt = jnp.where(code == 8, 1, code + 1)
+    nxt = jnp.where(code > 0, nxt, 0)
+    t = jnp.int32(target)
+    return p * (code == t) + (1.0 - p) * (nxt == t)
+
+
+def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
+                       out_ref, c_acc, c_fd, *, bh, f, reverse, tap):
+    """One scan-GS sweep of ``A = w + Pᵀ A``.
+
+    forward: NEW side = processed row above (tap weights toward S=7
+    straight, SE=6 from the west source, SW=8 from the east source)
+    plus BOTH in-row chains via prefix scans; OLD side = row below
+    (N=3, NE=4 west, NW=2 east).  reverse mirrors the row trios.
+    ``tap(field_group, target)`` abstracts the metric: D8 one-hot codes
+    or the D∞ packed two-tap field."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        c_acc[...] = jnp.zeros(c_acc.shape, c_acc.dtype)
+        c_fd[...] = jnp.zeros(c_fd.shape, c_fd.dtype)
+
+    zero = jnp.float32(0.0)
+    new_codes = (3, 4, 2) if reverse else (7, 6, 8)
+    old_codes = (7, 6, 8) if reverse else (3, 4, 2)
+
+    def row_body(k, carry_in):
+        prev_a, prev_fd = carry_in
+        r = (bh - 1 - k) if reverse else k
+        sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        w_l = w_ref[sl]
+        fd_l = fd_ref[sl]
+
+        cs, cw, ce = new_codes
+        newc = (prev_a * tap(prev_fd, cs)
+                + _shift_fwd(prev_a * tap(prev_fd, cw), 1, zero)
+                + _shift_rev(prev_a * tap(prev_fd, ce), 1, zero))
+
+        ro = r - 1 if reverse else r + 1
+        in_strip = (ro >= 0) & (ro < bh)
+        rs = jnp.clip(ro, 0, bh - 1)
+        at_edge = i == n - 1
+        rsf = pl.multiple_of(rs * f, f)
+        a_o = jnp.where(in_strip, acc_ref[pl.ds(rsf, f), :],
+                        accx_ref[...])
+        fd_o = jnp.where(in_strip, fd_ref[pl.ds(rsf, f), :],
+                         fdx_ref[...])
+        a_o = a_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
+
+        os_, ow, oe = old_codes
+        oldb = (a_o * tap(fd_o, os_)
+                + _shift_fwd(a_o * tap(fd_o, ow), 1, zero)
+                + _shift_rev(a_o * tap(fd_o, oe), 1, zero))
+        base = w_l + newc + oldb
+        # both in-row chains with NEW values; independent (an E-chain
+        # feeding a W-chain needs a 2-cycle), hence additive
+        gE = _shift_fwd(tap(fd_l, 5), 1, zero)
+        gW = _shift_rev(tap(fd_l, 1), 1, zero)
+        newE = _affine_scan(gE, base, reverse=False)
+        newW = _affine_scan(gW, base, reverse=True)
+        new = newE + newW - base
+        out_ref[sl] = new
+        return (new, fd_l)
+
+    acc_fin, fd_fin = jax.lax.fori_loop(
+        0, bh, row_body, (c_acc[...], c_fd[...]))
+    c_acc[...] = acc_fin
+    c_fd[...] = fd_fin
+
+
+def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap):
+    hf, L = acc.shape
+    h = hf // f
+    bh = _fold_strip_height(h, L * f, n_bufs=5)
+    n = h // bh
+    smap, xgroup = _strip_maps(n, bh, reverse)
+
+    def blk(m):
+        return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def xblk():
+        return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_accum_scan_kernel, bh=bh, f=f,
+                          reverse=reverse, tap=tap),
+        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        grid=(n,),
+        in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
+        out_specs=blk(smap),
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
+                        pltpu.VMEM((f, L), fd.dtype)],
+    )(w, fd, fd, acc, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
+def _accum_scan_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
+    h, wd = fd.shape
+    fd_p = _pad_to(jnp.asarray(fd, jnp.int32).clip(0), 0,
+                   mh=fold_pad, mw=fold_pad)
+    w_p = _pad_to(jnp.asarray(weights, jnp.float32), 0.0,
+                  mh=fold_pad, mw=fold_pad)
+    f = _F
+    fd_v = _fold(fd_p, f)
+    w_v = _fold(w_p, f)
+
+    def rotation(acc):
+        acc = _accum_scan_sweep(acc, w_v, fd_v, f, reverse=False)
+        return _accum_scan_sweep(acc, w_v, fd_v, f, reverse=True)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_rotations)
+
+    def body(state):
+        acc, it, _ = state
+        new = rotation(acc)
+        return new, it + 1, jnp.all(new == acc)
+
+    done0 = jnp.any(w_v != w_v)
+    acc, iters, done = jax.lax.while_loop(cond, body,
+                                          (w_v, jnp.int32(0), done0))
+    return _unfold(acc, f)[:h, :wd], iters, done
+
+
+@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
+def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD):
+    h, wd = weights.shape
+    f = _F
+    v_p = _pad_to(jnp.asarray(v, jnp.float32), 0.0, mh=fold_pad,
+                  mw=fold_pad)
+    w_p = _pad_to(jnp.asarray(weights, jnp.float32), 0.0,
+                  mh=fold_pad, mw=fold_pad)
+    v_v = _fold(v_p, f)
+    w_v = _fold(w_p, f)
+
+    def rotation(acc):
+        acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
+                                tap=_dinf_tap)
+        return _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
+                                 tap=_dinf_tap)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_rotations)
+
+    def body(state):
+        acc, it, _ = state
+        new = rotation(acc)
+        return new, it + 1, jnp.all(new == acc)
+
+    done0 = jnp.any(w_v != w_v)
+    acc, iters, done = jax.lax.while_loop(cond, body,
+                                          (w_v, jnp.int32(0), done0))
+    return _unfold(acc, f)[:h, :wd], iters, done
+
+
+def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
+                           max_rotations=512, fold_min=None,
+                           fold_pad=None, return_info=False):
+    """Exact D∞ accumulation from the two-tap encoding via scan-GS
+    sweeps — 2 pallas calls per rotation, no transposed packed field.
+    Same contract as ``pallas_dinf.dinf_accumulation_gs``."""
+    from richdem_tpu.ops.pallas_dinf import pack_two_tap
+
+    code = jnp.asarray(code)
+    h, wd = code.shape
+    fmin = _FOLD_MIN if fold_min is None else fold_min
+    fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    if weights is None:
+        weights = jnp.ones((h, wd), jnp.float32)
+    else:
+        weights = jnp.asarray(weights, jnp.float32)
+    if no_data_mask is not None:
+        weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
+    if max(h, wd) < fmin:
+        from richdem_tpu.ops.pallas_dinf import dinf_accumulation_gs
+        return dinf_accumulation_gs(code, p, weights=weights,
+                                    max_rotations=max_rotations,
+                                    fold_min=fmin, fold_pad=fpad,
+                                    return_info=return_info)
+    v = pack_two_tap(code, p)
+    acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
+                                       fold_pad=fpad)
+    _require_converged(done, "scan-GS D-infinity accumulation",
+                       max_rotations)
+    if no_data_mask is not None:
+        acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
+    return acc
+
+
+def d8_accumulation_scan(flowdirs, weights=None, no_data_mask=None,
+                         max_rotations=64, fold_min=None, fold_pad=None,
+                         return_info=False):
+    """Exact D8 accumulation via scan-GS sweeps (2 pallas calls per
+    rotation, all 8 directions covered).  Same contract as
+    ``pallas_folded.d8_accumulation_folded``."""
+    fd = jnp.asarray(flowdirs)
+    h, wd = fd.shape
+    fmin = _FOLD_MIN if fold_min is None else fold_min
+    fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    if max(h, wd) < fmin:
+        from richdem_tpu.ops import pallas_sweeps
+        return pallas_sweeps.d8_accumulation_gs(
+            flowdirs, weights=weights, no_data_mask=no_data_mask,
+            max_rotations=max_rotations, return_info=return_info)
+    if weights is None:
+        weights = jnp.ones((h, wd), jnp.float32)
+    else:
+        weights = jnp.asarray(weights, jnp.float32)
+    if no_data_mask is not None:
+        weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
+    acc, iters, done = _accum_scan_impl(fd, weights, max_rotations,
+                                        fold_pad=fpad)
+    _require_converged(done, "scan-GS D8 accumulation", max_rotations)
+    if no_data_mask is not None:
+        acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
+    return acc

@@ -72,10 +72,10 @@ def test_pallas_quasi_membership_matches_exact():
         fd = oracle.d8_flowdirs(dem)
         want_fd = oracle.resolve_flats(dem, fd)
         nd = jnp.zeros(dem.shape, bool)
-        exact_fd, exact_mask, exact_flat = F._resolve_impl(
+        exact_fd, exact_mask, exact_flat, _ = F._resolve_impl(
             jnp.asarray(dem), jnp.asarray(fd), nd, 256)
         with pltpu.force_tpu_interpret_mode():
-            got_fd, got_mask, got_flat = F._resolve_impl_pallas(
+            got_fd, got_mask, got_flat, _ = F._resolve_impl_pallas(
                 jnp.asarray(dem), jnp.asarray(fd), nd, 256)
         np.testing.assert_array_equal(np.asarray(got_fd), want_fd)
         np.testing.assert_array_equal(np.asarray(got_fd),

@@ -127,31 +127,38 @@ def test_pipeline_dispatch_cpu_matches_pallas_semantics():
     assert float(np.asarray(out["accum"]).sum()) > 0
 
 
-def _serpentine_dem(n, dtype=np.float32):
-    """Elevation strictly decreasing along one serpentine path threading
-    every cell: flow directions form a single path with O(n) direction
-    changes — the adversarial case for GS-rotation convergence."""
-    z = np.empty((n, n), dtype)
-    k = n * n
-    for r in range(n):
-        cols = range(n) if r % 2 == 0 else range(n - 1, -1, -1)
+def _serpentine_canyon_dem(n, dtype=np.float32):
+    """A walled serpentine canyon: channels on even rows descend
+    alternately east/west, connected through gaps in the high walls, so
+    the STEEPEST-DESCENT directions (not just the elevations) form one
+    serpentine path — ~n/2 vertical direction alternations, the
+    adversarial case for GS-rotation convergence.  (A plain
+    monotone-serpentine elevation ramp does NOT work: steepest descent
+    shortcuts straight down through the next switchback.)"""
+    z = np.full((n, n), 1e6, dtype)  # walls on odd rows
+    val = float(n * n)
+    for k, r in enumerate(range(0, n, 2)):
+        cols = range(n) if k % 2 == 0 else range(n - 1, -1, -1)
         for c in cols:
-            z[r, c] = k
-            k -= 1
+            z[r, c] = val
+            val -= 1.0
+        if r + 1 < n:
+            z[r + 1, (n - 1) if k % 2 == 0 else 0] = val  # wall gap
+            val -= 1.0
     return z
 
 
 def test_pipeline_serpentine_raises_or_converges():
     """VERDICT r2 weak #3: the flagship pipeline must never silently
-    truncate.  A serpentine DEM needs ~n/2 GS rotations — beyond the
+    truncate.  A serpentine canyon needs ~n/2 GS rotations — beyond the
     default log2(n²) cap, so the eager wrapper must RAISE; with an
     explicit adequate cap it must match the oracle exactly."""
     from richdem_tpu.pipeline import terrain_pipeline
-    n = 48
-    dem = _serpentine_dem(n)
+    n = 96
+    dem = _serpentine_canyon_dem(n)
     with pytest.raises(RuntimeError, match="did not converge"):
         terrain_pipeline(dem, eps=0.0)
-    out = terrain_pipeline(dem, eps=0.0, max_rotations=n)
+    out = terrain_pipeline(dem, eps=0.0, max_rotations=2 * n)
     want = oracle.d8_accumulation(oracle.d8_flowdirs(
         dem.astype(np.float64)))
     np.testing.assert_allclose(np.asarray(out["accum"]), want, rtol=1e-6)

@@ -1,0 +1,150 @@
+"""Scan-GS accumulation kernels ↔ oracle equivalence (interpret mode).
+
+Same small-fold injection strategy as tests/test_pallas_folded.py; the
+scan kernels' production-size TPU gates live in tests/test_tpu_only.py.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from richdem_tpu import oracle, synth
+from richdem_tpu.ops import pallas_folded, pallas_scan
+
+FOLD = dict(fold_min=8, fold_pad=64)
+
+
+@pytest.fixture(autouse=True)
+def _scan_test_mode():
+    old_cap = pallas_folded._STRIP_CAP
+    pallas_folded._STRIP_CAP = 16
+    try:
+        if jax.default_backend() != "tpu":
+            with pltpu.force_tpu_interpret_mode():
+                yield
+        else:
+            yield
+    finally:
+        pallas_folded._STRIP_CAP = old_cap
+        pallas_scan._accum_scan_impl.clear_cache()
+        pallas_scan._dinf_scan_impl.clear_cache()
+
+
+def _fd_of(dem):
+    filled = oracle.priority_flood_epsilon(dem.astype(np.float64),
+                                           eps=1e-3)
+    return oracle.d8_flowdirs(filled)
+
+
+@pytest.mark.parametrize("hw", [(64, 72), (96, 200), (70, 130)])
+def test_scan_accum_matches_oracle(hw):
+    dem = synth.depression_dem(hw[0], hw[1], seed=5, dtype=np.float32)
+    fd = _fd_of(dem)
+    got, iters, done = pallas_scan.d8_accumulation_scan(
+        fd, return_info=True, **FOLD)
+    assert bool(done)
+    want = oracle.d8_accumulation(fd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_scan_accum_serpentine_converges_fast():
+    """One path threading every cell: E/W runs resolve in-row via the
+    scan, so the whole serpentine needs only a couple of rotations
+    (the 4-sweep folded kernels needed O(1) too — the scan must not be
+    worse) and stays exact."""
+    h, w = 64, 72
+    fd = np.zeros((h, w), np.int8)
+    for r in range(h):
+        if r % 2 == 0:
+            fd[r, :] = 5
+            fd[r, -1] = 7
+        else:
+            fd[r, :] = 1
+            fd[r, 0] = 7
+    fd[h - 1, 0 if (h - 1) % 2 else w - 1] = 0
+    got, iters, done = pallas_scan.d8_accumulation_scan(
+        fd, return_info=True, **FOLD)
+    assert bool(done)
+    want = oracle.d8_accumulation(fd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    assert float(np.asarray(got).max()) == h * w
+    assert int(iters) <= 3
+
+
+def test_scan_accum_weights_nodata():
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(72, seed=6, dtype=np.float32),
+        no_data=-9999.0)
+    nd = dem == -9999.0
+    filled = oracle.priority_flood_epsilon(dem, no_data=-9999.0,
+                                           eps=1e-3, dtype=np.float64)
+    fd = oracle.d8_flowdirs(filled, no_data=-9999.0)
+    wts = np.full(dem.shape, 2.5, np.float32)
+    got = np.asarray(pallas_scan.d8_accumulation_scan(
+        fd, weights=wts, no_data_mask=nd, **FOLD), np.float64)
+    want = oracle.d8_accumulation(fd, weights=np.where(nd, 0.0, wts))
+    want[nd] = 0.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_dinf_scan_matches_oracle():
+    """The scan-GS two-tap D∞ kernel vs the oracle topological queue
+    over the same quantized proportions."""
+    from richdem_tpu.ops.flowdirs import dinf_flowdirs
+    from richdem_tpu.ops.pallas_dinf import (dinf_two_tap, pack_two_tap,
+                                             two_tap_props,
+                                             unpack_two_tap)
+    dem = synth.perlin_dem(72, 96, seed=10, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    ang = dinf_flowdirs(np.asarray(filled, np.float32))
+    code, p = dinf_two_tap(ang)
+    got, iters, done = pallas_scan.dinf_accumulation_scan(
+        code, p, return_info=True, **FOLD)
+    assert bool(done)
+    cq, pq = unpack_two_tap(pack_two_tap(code, p))
+    want = oracle.flow_accumulation_from_props(
+        np.asarray(two_tap_props(cq, pq), np.float64))
+    np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                               rtol=2e-5)
+    assert abs(float(np.asarray(got).sum()) - want.sum()) \
+        / want.sum() < 1e-6
+
+
+def test_dinf_scan_weights_nodata():
+    from richdem_tpu.ops.flowdirs import dinf_flowdirs
+    from richdem_tpu.ops.pallas_dinf import (dinf_two_tap, pack_two_tap,
+                                             two_tap_props,
+                                             unpack_two_tap)
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(72, seed=4, dtype=np.float32),
+        no_data=-9999.0)
+    nd = dem == -9999.0
+    filled = oracle.priority_flood_epsilon(dem, no_data=-9999.0,
+                                           eps=1e-3, dtype=np.float64)
+    ang = dinf_flowdirs(np.asarray(filled, np.float32), no_data=None)
+    ang = np.where(nd, -1.0, np.asarray(ang))
+    code, p = dinf_two_tap(ang)
+    wts = np.full(dem.shape, 1.5, np.float32)
+    got = np.asarray(pallas_scan.dinf_accumulation_scan(
+        code, p, weights=wts, no_data_mask=nd, **FOLD), np.float64)
+    cq, pq = unpack_two_tap(pack_two_tap(code, p))
+    want = oracle.flow_accumulation_from_props(
+        np.asarray(two_tap_props(cq, pq), np.float64),
+        weights=np.where(nd, 0.0, wts))
+    want[nd] = 0.0
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_scan_accum_fewer_dispatches_than_folded():
+    """The whole point: a scan rotation is 2 pallas calls (vs the folded
+    4 sweeps + 2 transpose refolds), so total kernel dispatches to
+    convergence must drop even if rotation counts are close."""
+    dem = synth.perlin_dem(96, seed=9, dtype=np.float32)
+    fd = _fd_of(dem)
+    _, it_scan, d1 = pallas_scan.d8_accumulation_scan(
+        fd, return_info=True, **FOLD)
+    _, it_fold, d2 = pallas_folded.d8_accumulation_folded(
+        fd, return_info=True, **FOLD)
+    assert bool(d1) and bool(d2)
+    assert int(it_scan) * 2 < int(it_fold) * 6

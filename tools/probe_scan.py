@@ -1,0 +1,67 @@
+"""Scan-GS vs folded kernels on the real chip: time + rotation counts."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, reps=4):
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    from richdem_tpu import ops, synth_jax
+    from richdem_tpu.ops import pallas_folded as PF
+    from richdem_tpu.ops import pallas_scan as PS
+
+    z = synth_jax.perlin_dem(n)
+    filled = ops.fill_depressions(z)
+    fd = ops.d8_flowdirs(filled)
+    float(jnp.asarray(fd, jnp.int32).sum())
+    sync = timeit(lambda: float(jnp.zeros((8, 128)).sum() + 1.0))
+    print(f"n={n} sync={sync*1e3:.1f} ms", flush=True)
+
+    acc_f, it_f, _ = PF.d8_accumulation_folded(fd, return_info=True)
+    tf = timeit(lambda: float(jnp.asarray(
+        PF.d8_accumulation_folded(fd)).sum()))
+    print(f"folded d8: {tf*1e3:.1f} ms rot={int(it_f)} "
+          f"({(tf-sync)/int(it_f)*1e3:.2f} ms/rot)", flush=True)
+
+    acc_s, it_s, _ = PS.d8_accumulation_scan(fd, return_info=True)
+    ts = timeit(lambda: float(jnp.asarray(
+        PS.d8_accumulation_scan(fd)).sum()))
+    print(f"scan d8:   {ts*1e3:.1f} ms rot={int(it_s)} "
+          f"({(ts-sync)/int(it_s)*1e3:.2f} ms/rot)", flush=True)
+    import numpy as np
+    same = np.allclose(np.asarray(acc_f), np.asarray(acc_s), rtol=1e-6)
+    print("outputs allclose:", same, flush=True)
+
+    # D-infinity
+    from richdem_tpu.ops.flowdirs import dinf_flowdirs
+    from richdem_tpu.ops.pallas_dinf import dinf_accumulation_gs, dinf_two_tap
+    ang = dinf_flowdirs(filled)
+    code, p = dinf_two_tap(ang)
+    a1, itd, _ = dinf_accumulation_gs(code, p, return_info=True)
+    td = timeit(lambda: float(jnp.asarray(
+        dinf_accumulation_gs(code, p)).sum()))
+    print(f"folded dinf: {td*1e3:.1f} ms rot={int(itd)} "
+          f"({(td-sync)/int(itd)*1e3:.2f} ms/rot)", flush=True)
+    a2, itd2, _ = PS.dinf_accumulation_scan(code, p, return_info=True)
+    td2 = timeit(lambda: float(jnp.asarray(
+        PS.dinf_accumulation_scan(code, p)).sum()))
+    print(f"scan dinf:   {td2*1e3:.1f} ms rot={int(itd2)} "
+          f"({(td2-sync)/int(itd2)*1e3:.2f} ms/rot)", flush=True)
+    same = np.allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5)
+    print("dinf outputs allclose:", same, flush=True)
+
+
+if __name__ == "__main__":
+    main()
