@@ -291,7 +291,10 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
     """Exact D∞ accumulation from the two-tap encoding — same
     topological-queue result as the generic MFD path at ~half the HBM
     traffic.  Small grids fall back to the generic kernel via decoded
-    proportions (folding pads to 1024 multiples)."""
+    proportions (folding pads to 1024 multiples).  Engine-dispatching at
+    folded sizes: ``RICHDEM_TPU_ACCUM_ENGINE=scan`` routes to the
+    scan-GS kernel (whose small-grid fallback re-enters here, hence the
+    dispatch sits behind the size check)."""
     code = jnp.asarray(code)
     h, wd = code.shape
     fmin = _FOLD_MIN if fold_min is None else fold_min
@@ -309,6 +312,19 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
                                    no_data_mask=no_data_mask,
                                    max_rotations=max_rotations,
                                    return_info=return_info)
+    from richdem_tpu.ops.pallas_folded import _accum_engine
+    if _accum_engine() == "scan":
+        from richdem_tpu.ops.pallas_scan import _dinf_scan_impl
+        v = pack_two_tap(code, jnp.asarray(p, jnp.float32))
+        acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
+                                           fold_pad=fpad)
+        _require_converged(done, "D-infinity scan accumulation",
+                           max_rotations)
+        if no_data_mask is not None:
+            acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+        if return_info:
+            return acc, iters, done
+        return acc
     acc, iters, done = _dinf_gs_impl(code, p, weights, max_rotations,
                                      fold_pad=fpad)
     _require_converged(done, "D-infinity two-tap accumulation",

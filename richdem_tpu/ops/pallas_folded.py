@@ -534,7 +534,28 @@ def d8_accumulation_folded(flowdirs, weights=None, no_data_mask=None,
 
 #: Aliases so call sites can switch between engines by import only.
 fill_fixpoint_pallas = fill_fixpoint_folded
-d8_accumulation_gs = d8_accumulation_folded
+
+
+def _accum_engine():
+    """Production accumulation engine: ``RICHDEM_TPU_ACCUM_ENGINE`` =
+    ``scan`` (2 scan-GS sweeps/rotation, ops/pallas_scan.py) or
+    ``folded`` (4 sweeps + 2 transposes).  Read per call so tests and
+    benches can flip it without re-importing."""
+    import os
+    return os.environ.get("RICHDEM_TPU_ACCUM_ENGINE", _ACCUM_DEFAULT)
+
+
+#: flipped to "scan" once the scan kernels' hardware gates + timings
+#: land (tests/test_tpu_only.py; tools/probe_scan.py)
+_ACCUM_DEFAULT = "folded"
+
+
+def d8_accumulation_gs(*args, **kw):
+    """Engine-dispatching D8 accumulation (see :func:`_accum_engine`)."""
+    if _accum_engine() == "scan":
+        from richdem_tpu.ops.pallas_scan import d8_accumulation_scan
+        return d8_accumulation_scan(*args, **kw)
+    return d8_accumulation_folded(*args, **kw)
 
 
 # ---------------------------------------------------------------------------

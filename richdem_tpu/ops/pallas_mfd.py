@@ -247,8 +247,15 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
     fmin = _FOLD_MIN if fold_min is None else fold_min
     if max(h, wd) >= fmin:
         fpad = _FOLD_PAD if fold_pad is None else fold_pad
-        acc, iters, done = _mfd_gs_impl(props8, weights, max_rotations,
-                                        fold_pad=fpad)
+        from richdem_tpu.ops.pallas_folded import _accum_engine
+        if _accum_engine() == "scan":
+            from richdem_tpu.ops.pallas_scan import _mfd_scan_impl
+            acc, iters, done = _mfd_scan_impl(props8, weights,
+                                              max_rotations,
+                                              fold_pad=fpad)
+        else:
+            acc, iters, done = _mfd_gs_impl(props8, weights,
+                                            max_rotations, fold_pad=fpad)
     else:
         acc, iters, done = _mfd_gs_impl_small(props8, weights,
                                               max_rotations)

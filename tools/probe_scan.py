@@ -63,5 +63,36 @@ def main():
     print("dinf outputs allclose:", same, flush=True)
 
 
+
+def quinn(n):
+    import numpy as np
+    from richdem_tpu import ops, synth_jax
+    from richdem_tpu.ops import pallas_scan as PS
+    from richdem_tpu.ops.pallas_mfd import mfd_accumulation_gs
+    from richdem_tpu.ops.flowdirs import flow_proportions
+    z = synth_jax.perlin_dem(n)
+    filled = ops.fill_depressions(z)
+    props = flow_proportions(filled, method="Quinn")
+    float(jnp.asarray(props).sum())
+    sync = timeit(lambda: float(jnp.zeros((8, 128)).sum() + 1.0))
+    a2, it2, _ = PS.mfd_accumulation_scan(props, return_info=True)
+    t2 = timeit(lambda: float(jnp.asarray(
+        PS.mfd_accumulation_scan(props)).sum()), reps=2)
+    print(f"scan quinn:   {t2*1e3:.1f} ms rot={int(it2)} "
+          f"({(t2-sync)/int(it2)*1e3:.2f} ms/rot)", flush=True)
+    a1, it1, _ = mfd_accumulation_gs(props, return_info=True)
+    t1 = timeit(lambda: float(jnp.asarray(
+        mfd_accumulation_gs(props)).sum()), reps=2)
+    print(f"folded quinn: {t1*1e3:.1f} ms rot={int(it1)} "
+          f"({(t1-sync)/int(it1)*1e3:.2f} ms/rot)", flush=True)
+    import numpy as np
+    print("quinn allclose:",
+          np.allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5),
+          flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "quinn":
+        quinn(int(sys.argv[1]))
+    else:
+        main()
