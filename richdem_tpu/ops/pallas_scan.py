@@ -53,15 +53,24 @@ from richdem_tpu.ops.pallas_folded import (_F, _FOLD_MIN, _FOLD_PAD,
                                            _strip_maps, _unfold)
 from richdem_tpu.ops.pallas_sweeps import _pad_to
 
-__all__ = ["d8_accumulation_scan", "dinf_accumulation_scan"]
+__all__ = ["d8_accumulation_scan", "dinf_accumulation_scan",
+           "mfd_accumulation_scan"]
 
 
-def _shift_fwd(x, k, fill):
+def _iota_ctx(shape):
+    """Hoisted iota fields shared by every shift in a kernel (rebuilding
+    them per scan step measurably slows the sweeps)."""
+    lane, sub = _iotas(shape)
+    L = shape[-1]
+    return lane, sub * L + lane
+
+
+def _shift_fwd(x, k, fill, ctx=None):
     """Flattened row-major shift: out[flat j] = x[j-k] over the (f, L)
     group, ``fill`` for j < k.  k static, 1 ≤ k < f·L."""
     f, L = x.shape
     s, l = divmod(k, L)
-    lane, sub = _iotas(x.shape)
+    lane, flat = _iota_ctx(x.shape) if ctx is None else ctx
     if l:
         rolled = pltpu.roll(x, l, axis=1)
         a = pltpu.roll(rolled, s, axis=0) if s else rolled
@@ -69,15 +78,14 @@ def _shift_fwd(x, k, fill):
         out = jnp.where(lane >= l, a, b)
     else:
         out = pltpu.roll(x, s, axis=0)
-    flat = sub * L + lane
     return jnp.where(flat >= k, out, fill)
 
 
-def _shift_rev(x, k, fill):
+def _shift_rev(x, k, fill, ctx=None):
     """out[flat j] = x[j+k]; ``fill`` for j ≥ f·L − k."""
     f, L = x.shape
     s, l = divmod(k, L)
-    lane, sub = _iotas(x.shape)
+    lane, flat = _iota_ctx(x.shape) if ctx is None else ctx
     if l:
         rolled = pltpu.roll(x, L - l, axis=1)
         a = pltpu.roll(rolled, (f - s) % f, axis=0)
@@ -85,11 +93,10 @@ def _shift_rev(x, k, fill):
         out = jnp.where(lane < L - l, a, b)
     else:
         out = pltpu.roll(x, (f - s) % f, axis=0) if s else x
-    flat = sub * L + lane
     return jnp.where(flat < f * L - k, out, fill)
 
 
-def _affine_scan(gate, base, reverse):
+def _affine_scan(gate, base, reverse, ctx=None):
     """Solve new[j] = base[j] + gate[j]·new[j∓1] exactly (row-local).
 
     Hillis–Steele composition of affine maps (a, b): after log₂(f·L)
@@ -97,12 +104,14 @@ def _affine_scan(gate, base, reverse):
     row edge)."""
     f, L = gate.shape
     w = f * L
+    if ctx is None:
+        ctx = _iota_ctx(gate.shape)
     shift = _shift_rev if reverse else _shift_fwd
     a, b = gate, base
     d = 1
     while d < w:
-        b = a * shift(b, d, 0.0) + b
-        a = a * shift(a, d, 1.0)
+        b = a * shift(b, d, 0.0, ctx) + b
+        a = a * shift(a, d, 1.0, ctx)
         d *= 2
     return b
 
@@ -144,6 +153,7 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
     zero = jnp.float32(0.0)
     new_codes = (3, 4, 2) if reverse else (7, 6, 8)
     old_codes = (7, 6, 8) if reverse else (3, 4, 2)
+    ctx = _iota_ctx((f, acc_ref.shape[-1]))
 
     def row_body(k, carry_in):
         prev_a, prev_fd = carry_in
@@ -154,8 +164,8 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
 
         cs, cw, ce = new_codes
         newc = (prev_a * tap(prev_fd, cs)
-                + _shift_fwd(prev_a * tap(prev_fd, cw), 1, zero)
-                + _shift_rev(prev_a * tap(prev_fd, ce), 1, zero))
+                + _shift_fwd(prev_a * tap(prev_fd, cw), 1, zero, ctx)
+                + _shift_rev(prev_a * tap(prev_fd, ce), 1, zero, ctx))
 
         ro = r - 1 if reverse else r + 1
         in_strip = (ro >= 0) & (ro < bh)
@@ -170,15 +180,15 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
 
         os_, ow, oe = old_codes
         oldb = (a_o * tap(fd_o, os_)
-                + _shift_fwd(a_o * tap(fd_o, ow), 1, zero)
-                + _shift_rev(a_o * tap(fd_o, oe), 1, zero))
+                + _shift_fwd(a_o * tap(fd_o, ow), 1, zero, ctx)
+                + _shift_rev(a_o * tap(fd_o, oe), 1, zero, ctx))
         base = w_l + newc + oldb
         # both in-row chains with NEW values; independent (an E-chain
         # feeding a W-chain needs a 2-cycle), hence additive
-        gE = _shift_fwd(tap(fd_l, 5), 1, zero)
-        gW = _shift_rev(tap(fd_l, 1), 1, zero)
-        newE = _affine_scan(gE, base, reverse=False)
-        newW = _affine_scan(gW, base, reverse=True)
+        gE = _shift_fwd(tap(fd_l, 5), 1, zero, ctx)
+        gW = _shift_rev(tap(fd_l, 1), 1, zero, ctx)
+        newE = _affine_scan(gE, base, reverse=False, ctx=ctx)
+        newW = _affine_scan(gW, base, reverse=True, ctx=ctx)
         new = newE + newW - base
         out_ref[sl] = new
         return (new, fd_l)
@@ -307,6 +317,180 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
                                        fold_pad=fpad)
     _require_converged(done, "scan-GS D-infinity accumulation",
                        max_rotations)
+    if no_data_mask is not None:
+        acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
+    return acc
+
+
+def _mfd_scan_kernel(acc_ref, accx_ref, w_ref,
+                     p1, p2, p3, p4, p5, p6, p7, p8,
+                     px_a, px_b, px_c,
+                     out_ref, carry, *, bh, f, reverse):
+    """Scan-GS sweep over (8, H·f, L) folded proportion planes: previous
+    row trio NEW via the carry, BOTH in-row chains NEW via the scans
+    (gates = the neighbors' E/W proportions — float affine coefficients),
+    next-row trio OLD.  See ops/pallas_mfd.py for the plane layout."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros(carry.shape, carry.dtype)
+
+    zero = jnp.float32(0.0)
+    if not reverse:
+        new_planes = (p7, p6, p8)
+        old_planes = (p3, p4, p2)
+    else:
+        new_planes = (p3, p4, p2)
+        old_planes = (p7, p6, p8)
+    ctx = _iota_ctx((f, acc_ref.shape[-1]))
+
+    def row_body(k, prev):
+        r = (bh - 1 - k) if reverse else k
+        sl = (0, pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        asl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        w_l = w_ref[asl]
+        fd1 = p1[sl]
+        fd5 = p5[sl]
+
+        prev_a = prev[0:f]
+        newc = (prev_a * prev[f:2 * f]
+                + _shift_fwd(prev_a * prev[2 * f:3 * f], 1, zero, ctx)
+                + _shift_rev(prev_a * prev[3 * f:4 * f], 1, zero, ctx))
+
+        ro = r - 1 if reverse else r + 1
+        in_strip = (ro >= 0) & (ro < bh)
+        rs = pl.multiple_of(jnp.clip(ro, 0, bh - 1) * f, f)
+        at_edge = i == n - 1
+        a_o = jnp.where(in_strip, acc_ref[pl.ds(rs, f), :],
+                        accx_ref[...])
+        o_s = jnp.where(in_strip, old_planes[0][0, pl.ds(rs, f), :],
+                        px_a[0])
+        o_w = jnp.where(in_strip, old_planes[1][0, pl.ds(rs, f), :],
+                        px_b[0])
+        o_e = jnp.where(in_strip, old_planes[2][0, pl.ds(rs, f), :],
+                        px_c[0])
+        a_o = a_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
+
+        oldb = (a_o * o_s
+                + _shift_fwd(a_o * o_w, 1, zero, ctx)
+                + _shift_rev(a_o * o_e, 1, zero, ctx))
+        base = w_l + newc + oldb
+        gE = _shift_fwd(fd5, 1, zero, ctx)   # west nbr's E proportion
+        gW = _shift_rev(fd1, 1, zero, ctx)   # east nbr's W proportion
+        newE = _affine_scan(gE, base, reverse=False, ctx=ctx)
+        newW = _affine_scan(gW, base, reverse=True, ctx=ctx)
+        new = newE + newW - base
+        out_ref[asl] = new
+        return jnp.concatenate(
+            [new, new_planes[0][sl], new_planes[1][sl],
+             new_planes[2][sl]], axis=0)
+
+    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
+
+
+def _mfd_scan_sweep(acc, w, props8, f, reverse):
+    from richdem_tpu.ops.pallas_folded import _strip_maps
+
+    hf, L = acc.shape
+    h = hf // f
+    bh = _fold_strip_height(h, L * f, n_bufs=12)
+    n = h // bh
+    smap, xgroup = _strip_maps(n, bh, reverse)
+
+    def grid_blk(m):
+        return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def xblk():
+        return pl.BlockSpec((f, L), lambda i: (xgroup(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane_blk(d):
+        return pl.BlockSpec((1, bh * f, L),
+                            lambda i, _d=d: (_d, smap(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane_xblk(d):
+        return pl.BlockSpec((1, f, L),
+                            lambda i, _d=d: (_d, xgroup(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    old_set = (2, 3, 1) if not reverse else (6, 5, 7)
+    in_specs = (
+        [grid_blk(smap), xblk(), grid_blk(smap)]
+        + [plane_blk(d) for d in range(8)]
+        + [plane_xblk(d) for d in old_set]
+    )
+    return pl.pallas_call(
+        functools.partial(_mfd_scan_kernel, bh=bh, f=f, reverse=reverse),
+        out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=grid_blk(smap),
+        scratch_shapes=[pltpu.VMEM((4 * f, L), jnp.float32)],
+    )(acc, acc, w, *([props8] * 11))
+
+
+@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
+def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
+    h, wd = weights.shape
+    f = _F
+    props_p = jnp.stack([
+        _fold(_pad_to(props8[d], 0.0, mh=fold_pad, mw=fold_pad), f)
+        for d in range(8)])
+    w_p = _pad_to(jnp.asarray(weights, jnp.float32), 0.0,
+                  mh=fold_pad, mw=fold_pad)
+    w_v = _fold(w_p, f)
+
+    def rotation(acc):
+        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=False)
+        return _mfd_scan_sweep(acc, w_v, props_p, f, reverse=True)
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_rotations)
+
+    def body(state):
+        acc, it, _ = state
+        new = rotation(acc)
+        return new, it + 1, jnp.all(new == acc)
+
+    done0 = jnp.any(w_v != w_v)
+    acc, iters, done = jax.lax.while_loop(cond, body,
+                                          (w_v, jnp.int32(0), done0))
+    return _unfold(acc, f)[:h, :wd], iters, done
+
+
+def mfd_accumulation_scan(props, weights=None, no_data_mask=None,
+                          max_rotations=512, fold_min=None,
+                          fold_pad=None, return_info=False):
+    """Weighted upstream accumulation from (H, W, 8) proportions via
+    scan-GS sweeps — 2 pallas calls per rotation, no transposed plane
+    stacks.  Same contract as ``pallas_mfd.mfd_accumulation_gs``."""
+    props = jnp.asarray(props)
+    h, wd = props.shape[:2]
+    fmin = _FOLD_MIN if fold_min is None else fold_min
+    fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    if weights is None:
+        weights = jnp.ones((h, wd), jnp.float32)
+    else:
+        weights = jnp.asarray(weights, jnp.float32)
+    if no_data_mask is not None:
+        weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
+    if max(h, wd) < fmin:
+        from richdem_tpu.ops.pallas_mfd import mfd_accumulation_gs
+        return mfd_accumulation_gs(props, weights=weights,
+                                   max_rotations=max_rotations,
+                                   fold_min=fmin, fold_pad=fpad,
+                                   return_info=return_info)
+    props8 = jnp.moveaxis(props.astype(jnp.float32), -1, 0)
+    acc, iters, done = _mfd_scan_impl(props8, weights, max_rotations,
+                                      fold_pad=fpad)
+    _require_converged(done, "scan-GS MFD accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
     if return_info:

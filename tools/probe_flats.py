@@ -1,0 +1,67 @@
+"""Config-2 breakdown on the real chip: ε-fill vs flats sweep costs.
+
+Where do config 2's milliseconds go at 4096² (VERDICT r2 item 3:
+"profile flats' remaining sweeps")?
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, reps=4):
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    from richdem_tpu import ops, synth_jax
+    from richdem_tpu.ops.fill import auto_epsilon
+    from richdem_tpu.ops.flats import resolve_flats
+    from richdem_tpu.ops.pallas_folded import fill_fixpoint_folded
+
+    z = synth_jax.perlin_dem(n)
+    float(z.sum())
+    sync = timeit(lambda: float(jnp.zeros((8, 128)).sum() + 1.0))
+    eps_v = auto_epsilon(z)
+    print(f"n={n} sync={sync*1e3:.1f} ms eps={float(eps_v):.2e}",
+          flush=True)
+
+    filled, fit, fdone = fill_fixpoint_folded(z, eps=eps_v)
+    tf = timeit(lambda: float(jnp.asarray(
+        fill_fixpoint_folded(z, eps=eps_v)[0]).sum()))
+    print(f"eps-fill: {tf*1e3:.1f} ms rot={int(fit)} "
+          f"({(tf-sync)/max(int(fit),1)*1e3:.2f} ms/rot)", flush=True)
+
+    fd = ops.d8_flowdirs(filled)
+    td = timeit(lambda: float(jnp.asarray(
+        ops.d8_flowdirs(filled), jnp.int32).sum()))
+    print(f"d8: {td*1e3:.1f} ms", flush=True)
+
+    res, sit, sdone = resolve_flats(filled, fd, return_info=True)
+    tr = timeit(lambda: float(jnp.asarray(
+        resolve_flats(filled, fd), jnp.int32).sum()))
+    print(f"resolve_flats: {tr*1e3:.1f} ms rotations={int(sit)} "
+          f"({(tr-sync)/max(int(sit),1)*1e3:.2f} ms/rot) "
+          f"converged={bool(sdone)}", flush=True)
+    # how many flat cells even exist after the eps fill?
+    from richdem_tpu.topology import NO_FLOW
+    nf = int((jnp.asarray(fd) == NO_FLOW).sum())
+    print(f"NO_FLOW cells after eps-fill: {nf} "
+          f"({100.0*nf/(n*n):.3f}%)", flush=True)
+
+    total = tf + td + tr
+    print(f"config2 total ≈ {total*1e3:.1f} ms -> "
+          f"{n*n/total/1e6:.0f} Mcells/s "
+          f"({n*n/total/5.5e6:.1f}x pinned baseline)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
