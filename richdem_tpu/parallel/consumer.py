@@ -229,6 +229,10 @@ def fill_tile_apply(z_tile, wstar_ring, no_data=None):
         jnp.asarray(np.nan_to_num(np.asarray(wstar_ring, np.float32),
                                   neginf=-BIG)),
         z.reshape(-1)[ridx])
+    # nodata ring cells (NaN sentinels included) must stay drains — a
+    # NaN scattered into w0 would poison the min/max fixpoint
+    ring_vals = jnp.where(nd.reshape(-1)[ridx], jnp.float32(-BIG),
+                          ring_vals)
     floor = z.reshape(-1).at[ridx].set(ring_vals).reshape(h, w)
     floor = jnp.where(nd, jnp.float32(-BIG), floor)
     if jax.default_backend() == "tpu":
