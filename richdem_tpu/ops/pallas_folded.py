@@ -532,8 +532,27 @@ def d8_accumulation_folded(flowdirs, weights=None, no_data_mask=None,
     return acc
 
 
-#: Aliases so call sites can switch between engines by import only.
-fill_fixpoint_pallas = fill_fixpoint_folded
+def _fill_engine():
+    """Production fill engine: ``RICHDEM_TPU_FILL_ENGINE`` = ``scan``
+    (2 clamp-scan sweeps/rotation, ops/pallas_scan.py) or ``folded``
+    (4 sweeps + 2 transposes).  Read per call so tests and benches can
+    flip it without re-importing."""
+    import os
+    return os.environ.get("RICHDEM_TPU_FILL_ENGINE", _FILL_DEFAULT)
+
+
+#: flipped to "scan" once the scan fill's hardware gates + timings land
+#: (tests/test_tpu_only.py; tools/probe_flats.py)
+_FILL_DEFAULT = "folded"
+
+
+def fill_fixpoint_pallas(*args, **kw):
+    """Engine-dispatching fill (see :func:`_fill_engine`); call sites
+    switch between engines by env var only."""
+    if _fill_engine() == "scan":
+        from richdem_tpu.ops.pallas_scan import fill_fixpoint_scan
+        return fill_fixpoint_scan(*args, **kw)
+    return fill_fixpoint_folded(*args, **kw)
 
 
 def _accum_engine():

@@ -52,9 +52,10 @@ from richdem_tpu.ops.pallas_folded import (_F, _FOLD_MIN, _FOLD_PAD,
                                            _iotas, _require_converged,
                                            _strip_maps, _unfold)
 from richdem_tpu.ops.pallas_sweeps import _pad_to
+from richdem_tpu.ops.sweeps import BIG
 
 __all__ = ["d8_accumulation_scan", "dinf_accumulation_scan",
-           "mfd_accumulation_scan"]
+           "mfd_accumulation_scan", "fill_fixpoint_scan"]
 
 
 def _iota_ctx(shape):
@@ -527,3 +528,257 @@ def d8_accumulation_scan(flowdirs, weights=None, no_data_mask=None,
     if return_info:
         return acc, iters, done
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Scan-GS fill: the same 2-sweeps-per-rotation structure for the
+# Priority-Flood fixpoint
+# ---------------------------------------------------------------------------
+#
+# The fill fixpoint  w[i] = max(z[i], min_n (w[n] + ε_n))  has the same
+# sweep structure as accumulation but in (min, +) with a floor clamp.
+# Within a row (fixed vertical candidates), the Gauss–Seidel limit is
+#
+#     new[j] = min(wr[j], max(fr[j], min(vc[j], new[j−1]+ε, new[j+1]+ε)))
+#
+# and because 1-D paths are monotone (a path that backtracks revisits a
+# cell with ≥ the prefix value: every step adds ε ≥ 0 and clamps only
+# raise), the limit splits into independent directional passes
+# new = min(F, G) with  F[j] = clip(F[j−1]+ε, fr[j], B[j]),
+# B = min(wr, max(fr, vc)).  The maps  x → clip(x+s, lo, hi)  are closed
+# under composition:
+#
+#     (h₂∘h₁)(x) = clip(x + s₁ + s₂, clip(lo₁+s₂, lo₂, hi₂),
+#                                     clip(hi₁+s₂, lo₂, hi₂))
+#
+# so a Hillis–Steele scan over (lo, hi) pairs — the shift after step d is
+# the static d·ε — evaluates F exactly in log₂ W generalized lane shifts,
+# with identity out-of-range prefixes ((−BIG, +BIG) shift fills) and the
+# off-grid drain applied at the end (F = M(−BIG) = lo_final).  fr ≤ B
+# holds invariantly (w ≥ floor throughout), which is what makes
+# min(B, max(fr, ·)) a clip at all.
+#
+# A forward sweep then sees all 8 neighbors — row above NEW (straight ε,
+# diagonals ε_d), both in-row directions NEW via the clamp scans, row
+# below OLD — and a rotation is 2 pallas calls with no transpose refolds,
+# converging in O(vertical direction alternations) like the accumulation
+# scans.  Per-sweep change flags remain sound: the fill is a selection
+# fixpoint, so sweeps are idempotent exactly at convergence (see
+# pallas_folded._fill_kernel).
+
+def _clamp_scan(lo, hi, jeh, reverse, ctx):
+    """F[j] for the directional pass — lo/hi are the per-cell clip maps
+    (floor, B); returns the composed lower clamp applied to a −BIG
+    (off-grid drain) origin.
+
+    Runs in TILTED coordinates v[j] = w[j] ∓ j·ε (``jeh`` = flat-index·ε,
+    sign by direction): there the recurrence is the PURE clamp chain
+    F'[j] = clip(F'[j∓1], lo'[j], hi'[j]) — min/max only, exactly
+    associative, no accumulating ε additions.  The naive scan's per-level
+    ``+d·ε`` regroups the float sums differently from the sequential
+    sweep, so at the analytic fixpoint it returns values an ulp below the
+    stored state and the monotone iteration creeps for hundreds of
+    rotations (measured on the walled-serpentine pit); the tilted chain
+    is selection-valued, hence bit-stable under recomputation."""
+    f, L = lo.shape
+    w = f * L
+    shift = _shift_rev if reverse else _shift_fwd
+    neg = jnp.float32(-BIG)
+    pos = jnp.float32(BIG)
+    t = -jeh if reverse else jeh
+    lo = lo - t
+    hi = hi - t
+    d = 1
+    while d < w:
+        lo2 = jnp.clip(shift(lo, d, neg, ctx), lo, hi)
+        hi2 = jnp.clip(shift(hi, d, pos, ctx), lo, hi)
+        lo, hi = lo2, hi2
+        d *= 2
+    return lo + t
+
+
+def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
+                      flag_ref, carry, *, bh, f, reverse):
+    """One scan-GS fill sweep + in-kernel change flag (same convergence
+    contract as pallas_folded._fill_kernel).
+
+    Deliberately NO old-side (unprocessed-row) candidates, unlike the
+    accumulation scans: fill cells mutually constrain their neighbors, so
+    old-side peeks make row r's value depend on row r+1's CURRENT value
+    and vice versa — each side then keeps re-rounding off the other's
+    last-ulp updates and the exact-equality fixpoint takes tens of extra
+    rotations to settle (measured on the walled-serpentine pit: 27 vs 2).
+    Without them every sweep output is a deterministic expression of
+    already-settled rows only, so cells settle in spill-tree order
+    exactly as in the folded kernel.  Coverage per rotation is still all
+    8 neighbors: forward = row above NEW + both in-row; reverse = row
+    below NEW + both in-row."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        # off-grid row beyond the first processed strip: a drain
+        carry[...] = jnp.full(carry.shape, -BIG, carry.dtype)
+        flag_ref[...] = jnp.zeros(flag_ref.shape, jnp.int32)
+
+    neg = jnp.float32(-BIG)
+    eps = eps_ref[0]
+    eps_d = eps_ref[1]
+    ctx = _iota_ctx((f, w_ref.shape[-1]))
+    jeh = ctx[1].astype(jnp.float32) * eps  # flat-index tilt field
+    tmax = jnp.float32(f * w_ref.shape[-1] - 1) * eps
+
+    def row_body(k, state):
+        prev, diff = state
+        r = (bh - 1 - k) if reverse else k
+        sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        wr = w_ref[sl]
+        fr = floor_ref[sl]
+
+        # processed neighbor row (NEW values): straight + both diagonals
+        vc = jnp.minimum(prev + eps,
+                         jnp.minimum(_shift_fwd(prev, 1, neg, ctx),
+                                     _shift_rev(prev, 1, neg, ctx))
+                         + eps_d)
+
+        b = jnp.minimum(wr, jnp.maximum(fr, vc))
+        lat = jnp.minimum(_clamp_scan(fr, b, jeh, False, ctx),
+                          _clamp_scan(fr, b, jeh, True, ctx))
+        # Accept a lateral-chain value only when it beats the no-lateral
+        # candidate by more than the tilt arithmetic's own noise floor
+        # (~ulp(|b| + t_max) per ±t round trip).  Without the guard, an
+        # ε-ramp surface (walled-serpentine pit) keeps re-rounding one
+        # ulp lower each sweep and the exact-equality fixpoint takes
+        # tens of extra rotations; with ε = 0 the chain is pure min/max
+        # selections and the guard term is exactly zero.
+        guard = jnp.where(eps > 0,
+                          (jnp.abs(b) + tmax) * jnp.float32(2.0 ** -21),
+                          jnp.float32(0.0))
+        new = jnp.where(lat < b - guard, lat, b)
+        out_ref[sl] = new
+        return new, diff | (new != wr).astype(jnp.int32)
+
+    fin, diff = jax.lax.fori_loop(
+        0, bh, row_body,
+        (carry[...], jnp.zeros(carry.shape, jnp.int32)))
+    carry[...] = fin
+    chg = jnp.any(diff != 0)
+
+    @pl.when(chg)
+    def _():
+        flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
+
+
+def _fill_scan_sweep(w, floor, eps2, f, reverse):
+    from richdem_tpu.ops.pallas_folded import _strip_maps
+
+    hf, L = w.shape
+    h = hf // f
+    bh = _fold_strip_height(h, L * f, n_bufs=3)
+    n = h // bh
+    smap, _ = _strip_maps(n, bh, reverse)
+
+    def blk(m):
+        return pl.BlockSpec((bh * f, L), lambda i, eps, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    flag_blk = pl.BlockSpec((8, 128), lambda i, eps: (0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[blk(smap), blk(smap)],
+        out_specs=[blk(smap), flag_blk],
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
+    )
+    out, flag = pl.pallas_call(
+        functools.partial(_fill_scan_kernel, bh=bh, f=f, reverse=reverse),
+        out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.int32)],
+        grid_spec=grid_spec,
+    )(eps2, w, floor)
+    return out, flag[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "check_every",
+                                             "fold_pad"))
+def _fill_scan_impl(z32, nodata_mask, w0, eps2, *, max_iters,
+                    check_every, fold_pad):
+    h, wd = z32.shape
+    neg = jnp.float32(-BIG)
+    floor = jnp.where(nodata_mask, neg, z32)
+    w0 = jnp.where(nodata_mask, neg, w0)
+
+    f = _F
+    floor_v = _fold(_pad_to(floor, -BIG, mh=fold_pad, mw=fold_pad), f)
+    wv = _fold(_pad_to(w0, -BIG, mh=fold_pad, mw=fold_pad), f)
+
+    def rotation(wv):
+        wv, c1 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=False)
+        wv, c2 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=True)
+        return wv, c1 + c2
+
+    def cond(state):
+        _, it, done = state
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(state):
+        w, it, _ = state
+        new = w
+        changed = jnp.int32(0)
+        for _ in range(check_every):
+            new, c = rotation(new)
+            changed = changed + c
+        return new, it + check_every, changed == 0
+
+    done0 = jnp.any(wv != wv)
+    wv, iters, done = jax.lax.while_loop(cond, body,
+                                         (wv, jnp.int32(0), done0))
+    filled = _unfold(wv, f)[:h, :wd]
+    return jnp.where(nodata_mask, z32, filled), iters, done
+
+
+def fill_fixpoint_scan(z, nodata_mask=None, eps=0.0, eps_diag=None,
+                       max_iters=256, check_every=1, w0=None,
+                       multiscale=True, fold_min=None, fold_pad=None,
+                       multiscale_min=None):
+    """Scan-GS fill: same (filled, iters, converged) contract as
+    ``pallas_folded.fill_fixpoint_folded``, 2 pallas calls per rotation
+    (vs 4 sweeps + 2 transpose refolds), in-row runs resolved exactly by
+    the clamp scans.  Cites reference ``Barnes2014.hpp`` Priority-Flood
+    semantics (SURVEY.md §2.2); engine selection via
+    ``RICHDEM_TPU_FILL_ENGINE``."""
+    from richdem_tpu.ops import pallas_folded as _PF
+    from richdem_tpu.ops.pallas_folded import (_coarse_warm_start,
+                                               fill_fixpoint_folded)
+
+    z32 = jnp.asarray(z, jnp.float32)
+    h, wd = z32.shape
+    fmin = _PF._FOLD_MIN if fold_min is None else fold_min
+    fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    msmin = (_PF._MULTISCALE_MIN if multiscale_min is None
+             else multiscale_min)
+    if max(h, wd) < fmin:
+        return fill_fixpoint_folded(
+            z, nodata_mask, eps=eps, eps_diag=eps_diag,
+            max_iters=max_iters, check_every=check_every, w0=w0,
+            multiscale=multiscale, fold_min=fold_min, fold_pad=fold_pad,
+            multiscale_min=multiscale_min)
+    if nodata_mask is None:
+        nodata_mask = jnp.zeros(z32.shape, bool)
+    else:
+        nodata_mask = jnp.asarray(nodata_mask)
+    eps = jnp.asarray(eps, jnp.float32)
+    if (w0 is None and multiscale and eps_diag is None
+            and max(h, wd) >= msmin):
+        zed = jnp.where(nodata_mask, jnp.float32(-BIG), z32)
+        w0 = _coarse_warm_start(zed, eps, fold_min=fmin, fold_pad=fpad)
+    if w0 is None:
+        w0 = jnp.full(z32.shape, jnp.float32(BIG))
+    else:
+        w0 = jnp.asarray(w0, jnp.float32)
+    eps_d = eps if eps_diag is None else jnp.asarray(eps_diag, jnp.float32)
+    eps2 = jnp.stack([eps, eps_d])
+    return _fill_scan_impl(z32, nodata_mask, w0, eps2,
+                           max_iters=max_iters, check_every=check_every,
+                           fold_pad=fpad)

@@ -30,6 +30,7 @@ def _scan_test_mode():
         pallas_scan._accum_scan_impl.clear_cache()
         pallas_scan._dinf_scan_impl.clear_cache()
         pallas_scan._mfd_scan_impl.clear_cache()
+        pallas_scan._fill_scan_impl.clear_cache()
 
 
 def _fd_of(dem):
@@ -187,3 +188,103 @@ def test_scan_accum_fewer_dispatches_than_folded():
         fd, return_info=True, **FOLD)
     assert bool(d1) and bool(d2)
     assert int(it_scan) * 2 < int(it_fold) * 6
+
+
+# ---------------------------------------------------------------------------
+# Scan-GS fill
+# ---------------------------------------------------------------------------
+
+def serpentine_pit(n, dtype=np.float32):
+    """Walled serpentine pit, fully inset from the boundary; the only
+    outlet is a notch at (0,1) above the path start (1,1).  The channel
+    DESCENDS along the path, so the ε-fill level must chain cell by cell
+    from the notch along the whole path — the adversarial case for
+    fill-sweep convergence (the folded engine resolves ~2 runs per
+    rotation; the scan's in-row chains chase the whole path per sweep)."""
+    z = np.full((n, n), 1e6, dtype)
+    z[0, 1] = 0.5
+    val = 0.0
+    for k, r in enumerate(range(1, n - 1, 2)):
+        cols = (range(1, n - 1) if k % 2 == 0 else range(n - 2, 0, -1))
+        for c in cols:
+            z[r, c] = val
+            val -= 1.0
+        if r + 2 < n - 1:
+            z[r + 1, (n - 2) if k % 2 == 0 else 1] = val
+            val -= 1.0
+    return z
+
+
+@pytest.mark.parametrize("hw,eps", [
+    ((64, 72), 0.0), ((64, 72), 1e-3),
+    ((96, 200), 0.0), ((96, 200), 1e-3), ((70, 130), 1e-3)])
+def test_fill_scan_matches_folded(hw, eps):
+    dem = synth.depression_dem(hw[0], hw[1], seed=5, dtype=np.float32)
+    got, it_s, d_s = pallas_scan.fill_fixpoint_scan(
+        dem, eps=eps, multiscale=False, **FOLD)
+    want, it_f, d_f = pallas_folded.fill_fixpoint_folded(
+        dem, eps=eps, multiscale=False, **FOLD)
+    assert bool(d_s) and bool(d_f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_fill_scan_matches_oracle_nodata():
+    dem = synth.with_nodata_holes(
+        synth.depression_dem(96, 128, seed=42, dtype=np.float64),
+        no_data=-9999.0)
+    nd = dem == -9999.0
+    want = np.asarray(oracle.priority_flood_fill(dem, no_data=-9999.0))
+    got, _, done = pallas_scan.fill_fixpoint_scan(
+        np.asarray(dem, np.float32), nodata_mask=nd, multiscale=False,
+        **FOLD)
+    assert bool(done)
+    g = np.asarray(got)
+    np.testing.assert_allclose(g[~nd], want[~nd], atol=1e-4)
+    np.testing.assert_allclose(g[nd], np.asarray(dem)[nd])
+
+
+def test_fill_scan_serpentine_pit_converges_fast():
+    """The structural claim: on the walled-serpentine pit the scan fill
+    converges in O(vertical alternation) rotations (~2) where the folded
+    engine needs ~n/4; with 2 vs 6 dispatches per rotation the dispatch
+    ratio must exceed 10×.  Also the exactness gate vs the float64
+    oracle."""
+    n = 64
+    dem = serpentine_pit(n)
+    want = np.asarray(oracle.priority_flood_epsilon(
+        dem.astype(np.float64), eps=1e-3))
+    got_s, it_s, d_s = pallas_scan.fill_fixpoint_scan(
+        dem, eps=1e-3, multiscale=False, max_iters=256, **FOLD)
+    got_f, it_f, d_f = pallas_folded.fill_fixpoint_folded(
+        dem, eps=1e-3, multiscale=False, max_iters=256, **FOLD)
+    assert bool(d_s) and bool(d_f)
+    np.testing.assert_allclose(np.asarray(got_s), want, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got_f), want, atol=1e-2)
+    assert int(it_s) <= 4
+    assert int(it_s) * 2 * 10 <= int(it_f) * 6
+
+
+def test_fill_scan_multiscale_warm_start():
+    """The multigrid upper bound composes with the scan sweeps."""
+    dem = synth.depression_dem(96, 128, seed=11, dtype=np.float32)
+    got, _, done = pallas_scan.fill_fixpoint_scan(
+        dem, eps=1e-3, multiscale=True, multiscale_min=64, **FOLD)
+    want, _, _ = pallas_folded.fill_fixpoint_folded(
+        dem, eps=1e-3, multiscale=False, **FOLD)
+    assert bool(done)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_fill_engine_env_dispatch(monkeypatch):
+    """RICHDEM_TPU_FILL_ENGINE routes fill_fixpoint_pallas."""
+    dem = synth.depression_dem(64, 72, seed=5, dtype=np.float32)
+    monkeypatch.setenv("RICHDEM_TPU_FILL_ENGINE", "scan")
+    got = pallas_folded.fill_fixpoint_pallas(
+        dem, eps=1e-3, multiscale=False, **FOLD)[0]
+    monkeypatch.setenv("RICHDEM_TPU_FILL_ENGINE", "folded")
+    want = pallas_folded.fill_fixpoint_pallas(
+        dem, eps=1e-3, multiscale=False, **FOLD)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-4)

@@ -107,6 +107,46 @@ def test_fill_folded_multiscale_4096_exact_vs_native():
     np.testing.assert_array_equal(np.asarray(filled, np.float64), want)
 
 
+def test_fill_scan_2048_exact_vs_native():
+    """Scan-GS fill (clamp-scan engine, ops/pallas_scan.py) == native
+    Priority-Flood at a production size, bit-exact for the plain fill
+    (pure selection — the ε guard term is exactly zero at ε = 0) and
+    allclose-vs-folded for the ε fill."""
+    native = _native_or_skip()
+    from richdem_tpu import synth_jax
+    from richdem_tpu.ops.pallas_folded import fill_fixpoint_folded
+    from richdem_tpu.ops.pallas_scan import fill_fixpoint_scan
+    h, w = 2048, 2176
+    dem_d = synth_jax.depression_dem(h, w, seed=9, n_pits=24)
+    filled, _, done = fill_fixpoint_scan(dem_d, eps=0.0)
+    assert bool(done)
+    dem = np.asarray(dem_d, np.float64)
+    want = native.fill(dem)
+    np.testing.assert_array_equal(np.asarray(filled, np.float64), want)
+    # epsilon fill: f32 summation order differs between engines, so the
+    # gate is allclose vs the folded engine at the same size
+    fe, _, de = fill_fixpoint_scan(dem_d, eps=1e-3)
+    ff, _, df = fill_fixpoint_folded(dem_d, eps=1e-3)
+    assert bool(de) and bool(df)
+    np.testing.assert_allclose(np.asarray(fe), np.asarray(ff),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_fill_scan_multiscale_4096_exact_vs_native():
+    """Scan fill with the multigrid warm start active, bit-exact at
+    ε = 0 vs the native engine."""
+    native = _native_or_skip()
+    from richdem_tpu import synth_jax
+    from richdem_tpu.ops.pallas_scan import fill_fixpoint_scan
+    h, w = 4096, 4224
+    dem_d = synth_jax.depression_dem(h, w, seed=21, n_pits=60)
+    filled, _, done = fill_fixpoint_scan(dem_d, eps=0.0, multiscale=True)
+    assert bool(done)
+    dem = np.asarray(dem_d, np.float64)
+    want = native.fill(dem)
+    np.testing.assert_array_equal(np.asarray(filled, np.float64), want)
+
+
 def test_accum_folded_2048_exact_vs_native():
     """Folded D8 accumulation (the production accum kernel) == native
     topological queue, bit-exact (unit weights ⇒ integer partial sums,
