@@ -122,8 +122,23 @@ def _resolve_impl(z, fd, nodata_mask, max_iters):
     return resolved, mask.astype(jnp.int32), in_flat, info
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
+def _flats_engine():
+    """Production flats-distance engine: ``RICHDEM_TPU_FLATS_ENGINE`` =
+    ``scan`` (2 tropical-scan sweeps/rotation over the folded layout,
+    ops/pallas_scan.py) or ``folded`` (the strip-sequential (1, W)
+    sweeps + per-rotation transposes).  Read per call."""
+    import os
+    return os.environ.get("RICHDEM_TPU_FLATS_ENGINE", _FLATS_DEFAULT)
+
+
+#: flipped to "scan" once the scan distance kernels' hardware gates +
+#: timings land (tests/test_tpu_only.py; tools/probe_flats.py)
+_FLATS_DEFAULT = "folded"
+
+
+@partial(jax.jit, static_argnames=("max_iters", "engine", "fold_pad"))
+def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
+                         fold_pad=None):
     """TPU variant: the BFS fixpoints run as Pallas masked-distance
     sweeps (``ops.pallas_sweeps.dist_fixpoint_pallas``); seed/combine
     logic stays XLA.  Same ``(resolved, mask)`` as :func:`_resolve_impl`.
@@ -155,7 +170,19 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
 
     state = (data * _F_DATA + noflow * _F_NOFLOW
              + in_flat * _F_INFLAT).astype(jnp.int32)
-    ctx = _dist_context(zed, state)
+    if engine == "scan":
+        from richdem_tpu.ops.pallas_scan import dist_fixpoint_scan
+
+        def dist_fixpoint(w0, _ctx, mode, step, max_iters,
+                          return_info=False):
+            return dist_fixpoint_scan(w0, zed, state, mode, step,
+                                      max_iters, fold_pad=fold_pad,
+                                      return_info=return_info)
+
+        ctx = None
+    else:
+        dist_fixpoint = dist_fixpoint_pallas
+        ctx = _dist_context(zed, state)
 
     def nb_mask(m):
         return jnp.stack([neighbor(m, d, False) for d in range(1, 9)])
@@ -170,14 +197,14 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
     nb_higher = jnp.stack([(zb > zed) & (zb < zbig) for zb in z_nb])
     high_seed = noflow & in_flat & jnp.any(nb_higher, axis=0)
 
-    T, i1, d1 = dist_fixpoint_pallas(jnp.where(outlet, 0.0, BIG), ctx,
+    T, i1, d1 = dist_fixpoint(jnp.where(outlet, 0.0, BIG), ctx,
                                      "towards", 1.0, max_iters,
                                      return_info=True)
-    D, i2, d2 = dist_fixpoint_pallas(jnp.where(high_seed, 1.0, BIG), ctx,
+    D, i2, d2 = dist_fixpoint(jnp.where(high_seed, 1.0, BIG), ctx,
                                      "away", 1.0, max_iters,
                                      return_info=True)
     d_finite = jnp.where(D < _UNREACHED, D, 0.0)
-    neg_max, i3, d3 = dist_fixpoint_pallas(
+    neg_max, i3, d3 = dist_fixpoint(
         jnp.where(in_flat, -d_finite, BIG), ctx, "maxd", 0.0, max_iters,
         return_info=True)
     maxD = -neg_max
@@ -202,8 +229,9 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters):
 
 
 def _impl():
-    return (_resolve_impl_pallas if jax.default_backend() == "tpu"
-            else _resolve_impl)
+    if jax.default_backend() == "tpu":
+        return partial(_resolve_impl_pallas, engine=_flats_engine())
+    return _resolve_impl
 
 
 def resolve_flats(dem, flowdirs, no_data=None, max_iters=256,

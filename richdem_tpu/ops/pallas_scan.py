@@ -782,3 +782,181 @@ def fill_fixpoint_scan(z, nodata_mask=None, eps=0.0, eps_diag=None,
     return _fill_scan_impl(z32, nodata_mask, w0, eps2,
                            max_iters=max_iters, check_every=check_every,
                            fold_pad=fpad)
+
+
+# ---------------------------------------------------------------------------
+# Scan-GS masked distances (flat resolution): tropical min-plus scans
+# ---------------------------------------------------------------------------
+#
+# The flat-resolution BFS fixpoints (ops/flats.py — "towards"/"away"/
+# "maxd" masked distances, reference ``flat_resolution.hpp`` semantics
+# per SURVEY.md §2.2) are min-plus shortest paths over unit (or zero)
+# step costs gated by per-edge admissibility.  In-row the GS limit is
+# new[j] = min(b[j], a[j] + new[j∓1]) with a[j] ∈ {step, +∞}: tropical
+# affine maps x → min(b, x + a), composed (a₁,b₁)→(a₂,b₂) =
+# (a₁+a₂, min(b₂, b₁+a₂)) — associative, and EXACT here: distances are
+# small integers (·step) and the ∞ sentinel BIG stays ≥ BIG under ≤ 2¹²
+# additions, so unlike the ε-fill chains no tilt or acceptance guard is
+# needed and per-sweep change flags detect the selection fixpoint
+# soundly.  A rotation is 2 pallas calls over the folded (f, L) layout
+# (vs 4 strip-sequential (1, W) sweeps + per-rotation transposes of the
+# working raster in ops/pallas_sweeps.dist_fixpoint_pallas), full VPU
+# sublane utilization included.
+
+def _tropical_scan(a, b, reverse, ctx):
+    """Solve new[j] = min(b[j], a[j] + new[j∓1]) exactly (row-local);
+    out-of-row prefix is the identity map (a = 0, b = +∞) and the
+    origin x₀ = +∞, so the result is the composed b."""
+    f, L = a.shape
+    w = f * L
+    shift = _shift_rev if reverse else _shift_fwd
+    big = jnp.float32(BIG)
+    zero = jnp.float32(0.0)
+    d = 1
+    while d < w:
+        b = jnp.minimum(b, shift(b, d, big, ctx) + a)
+        a = shift(a, d, zero, ctx) + a
+        d *= 2
+    return b
+
+
+def _dist_scan_kernel(w_ref, z_ref, s_ref, out_ref, flag_ref,
+                      c_w, c_z, c_s, *, bh, f, reverse, mode, step):
+    """One scan-GS masked-distance sweep + in-kernel change flag (same
+    admissibility predicates as pallas_sweeps._dist_down_kernel)."""
+    from richdem_tpu.ops.pallas_sweeps import _allowed
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        # no off-grid sources: flats never touch the padding
+        c_w[...] = jnp.full(c_w.shape, BIG, c_w.dtype)
+        c_z[...] = jnp.full(c_z.shape, 3.0e37, c_z.dtype)
+        c_s[...] = jnp.zeros(c_s.shape, c_s.dtype)
+        flag_ref[...] = jnp.zeros(flag_ref.shape, jnp.int32)
+
+    big = jnp.float32(BIG)
+    zbig = jnp.float32(3.0e37)
+    stepf = jnp.float32(step)
+    ctx = _iota_ctx((f, w_ref.shape[-1]))
+
+    def row_body(k, state):
+        prevw, prevz, prevs, diff = state
+        r = (bh - 1 - k) if reverse else k
+        sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
+        wr = w_ref[sl]
+        z = z_ref[sl]
+        s = s_ref[sl]
+
+        # processed neighbor row (NEW values): straight + both diagonals
+        cand = jnp.where(_allowed(mode, z, prevz, s, prevs),
+                         prevw + stepf, big)
+        zl = _shift_fwd(prevz, 1, zbig, ctx)
+        sl_ = _shift_fwd(prevs, 1, jnp.int32(0), ctx)
+        cand = jnp.minimum(cand, jnp.where(
+            _allowed(mode, z, zl, s, sl_),
+            _shift_fwd(prevw, 1, big, ctx) + stepf, big))
+        zr = _shift_rev(prevz, 1, zbig, ctx)
+        sr = _shift_rev(prevs, 1, jnp.int32(0), ctx)
+        cand = jnp.minimum(cand, jnp.where(
+            _allowed(mode, z, zr, s, sr),
+            _shift_rev(prevw, 1, big, ctx) + stepf, big))
+        b = jnp.minimum(wr, cand)
+
+        # both in-row chains via tropical scans
+        aE = jnp.where(_allowed(mode, z, _shift_fwd(z, 1, zbig, ctx), s,
+                                _shift_fwd(s, 1, jnp.int32(0), ctx)),
+                       stepf, big)
+        aW = jnp.where(_allowed(mode, z, _shift_rev(z, 1, zbig, ctx), s,
+                                _shift_rev(s, 1, jnp.int32(0), ctx)),
+                       stepf, big)
+        new = jnp.minimum(_tropical_scan(aE, b, reverse=False, ctx=ctx),
+                          _tropical_scan(aW, b, reverse=True, ctx=ctx))
+        out_ref[sl] = new
+        return new, z, s, diff | (new != wr).astype(jnp.int32)
+
+    fw, fz, fs, diff = jax.lax.fori_loop(
+        0, bh, row_body,
+        (c_w[...], c_z[...], c_s[...],
+         jnp.zeros(c_w.shape, jnp.int32)))
+    c_w[...] = fw
+    c_z[...] = fz
+    c_s[...] = fs
+    chg = jnp.any(diff != 0)
+
+    @pl.when(chg)
+    def _():
+        flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
+
+
+def _dist_scan_sweep(w, z, s, f, reverse, mode, step):
+    hf, L = w.shape
+    h = hf // f
+    bh = _fold_strip_height(h, L * f, n_bufs=4)
+    n = h // bh
+    smap, _ = _strip_maps(n, bh, reverse)
+
+    def blk(m):
+        return pl.BlockSpec((bh * f, L), lambda i, _m=m: (_m(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    flag_blk = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out, flag = pl.pallas_call(
+        functools.partial(_dist_scan_kernel, bh=bh, f=f, reverse=reverse,
+                          mode=mode, step=step),
+        out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.int32)],
+        grid=(n,),
+        in_specs=[blk(smap), blk(smap), blk(smap)],
+        out_specs=[blk(smap), flag_blk],
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
+                        pltpu.VMEM((f, L), jnp.float32),
+                        pltpu.VMEM((f, L), jnp.int32)],
+    )(w, z, s)
+    return out, flag[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "step", "max_iters",
+                                             "fold_pad"))
+def _dist_scan_impl(w0, zed, state, mode, step, max_iters, fold_pad):
+    h, wd = w0.shape
+    f = _F
+    w_v = _fold(_pad_to(jnp.asarray(w0, jnp.float32), BIG,
+                        mh=fold_pad, mw=fold_pad), f)
+    z_v = _fold(_pad_to(jnp.asarray(zed, jnp.float32), 3.0e37,
+                        mh=fold_pad, mw=fold_pad), f)
+    s_v = _fold(_pad_to(jnp.asarray(state, jnp.int32), 0,
+                        mh=fold_pad, mw=fold_pad), f)
+
+    def cond(st):
+        _, it, done = st
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(st):
+        w, it, _ = st
+        w, c1 = _dist_scan_sweep(w, z_v, s_v, f, reverse=False,
+                                 mode=mode, step=step)
+        w, c2 = _dist_scan_sweep(w, z_v, s_v, f, reverse=True,
+                                 mode=mode, step=step)
+        return w, it + 1, (c1 + c2) == 0
+
+    done0 = jnp.any(w_v != w_v)
+    w, iters, done = jax.lax.while_loop(cond, body,
+                                        (w_v, jnp.int32(0), done0))
+    return _unfold(w, f)[:h, :wd], iters, done
+
+
+def dist_fixpoint_scan(w0, zed, state, mode, step=1.0, max_iters=256,
+                       fold_pad=None, return_info=False):
+    """Scan-GS masked-distance fixpoint — same contract as
+    ``pallas_sweeps.dist_fixpoint_pallas`` but takes the raw
+    (elevation, state-flag) rasters instead of a precomputed shifted/
+    transposed context (the scan kernels shift in-kernel)."""
+    fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    w, iters, done = _dist_scan_impl(w0, zed, state, mode, float(step),
+                                     max_iters, fpad)
+    if return_info:
+        return w, iters, done
+    return w

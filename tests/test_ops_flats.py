@@ -55,34 +55,45 @@ def test_resolved_fills_drain():
     assert (interior == NO_FLOW).sum() == 0
 
 
-def test_pallas_quasi_membership_matches_exact():
+@pytest.mark.parametrize("engine", ["folded", "scan"])
+def test_pallas_quasi_membership_matches_exact(engine):
     """The TPU resolve replaces the exact flat-membership flood with a
     local equal-z-neighbor predicate (see _resolve_impl_pallas's
     docstring for the proof sketch).  Resolved directions and masks must
     equal the oracle AND the exact-membership CPU implementation
-    bitwise; the in_flat diagnostic may only be a superset."""
+    bitwise; the in_flat diagnostic may only be a superset.  Both
+    distance engines (strip-sequential folded sweeps and the tropical
+    scan kernels — exact small-integer arithmetic) must agree."""
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
     from richdem_tpu.ops import flats as F
+    from richdem_tpu.ops import pallas_folded
 
-    for dem in [synth.plateau_dem(72, dtype=np.float64),
-                oracle.priority_flood_fill(
-                    synth.depression_dem(64, seed=5, dtype=np.float64))]:
-        fd = oracle.d8_flowdirs(dem)
-        want_fd = oracle.resolve_flats(dem, fd)
-        nd = jnp.zeros(dem.shape, bool)
-        exact_fd, exact_mask, exact_flat, _ = F._resolve_impl(
-            jnp.asarray(dem), jnp.asarray(fd), nd, 256)
-        with pltpu.force_tpu_interpret_mode():
-            got_fd, got_mask, got_flat, _ = F._resolve_impl_pallas(
+    old_cap = pallas_folded._STRIP_CAP
+    pallas_folded._STRIP_CAP = 16
+    try:
+        for dem in [synth.plateau_dem(72, dtype=np.float64),
+                    oracle.priority_flood_fill(
+                        synth.depression_dem(64, seed=5,
+                                             dtype=np.float64))]:
+            fd = oracle.d8_flowdirs(dem)
+            want_fd = oracle.resolve_flats(dem, fd)
+            nd = jnp.zeros(dem.shape, bool)
+            exact_fd, exact_mask, exact_flat, _ = F._resolve_impl(
                 jnp.asarray(dem), jnp.asarray(fd), nd, 256)
-        np.testing.assert_array_equal(np.asarray(got_fd), want_fd)
-        np.testing.assert_array_equal(np.asarray(got_fd),
-                                      np.asarray(exact_fd))
-        np.testing.assert_array_equal(np.asarray(got_mask),
-                                      np.asarray(exact_mask))
-        assert (np.asarray(exact_flat) <= np.asarray(got_flat)).all()
+            with pltpu.force_tpu_interpret_mode():
+                got_fd, got_mask, got_flat, _ = F._resolve_impl_pallas(
+                    jnp.asarray(dem), jnp.asarray(fd), nd, 256,
+                    engine=engine, fold_pad=64)
+            np.testing.assert_array_equal(np.asarray(got_fd), want_fd)
+            np.testing.assert_array_equal(np.asarray(got_fd),
+                                          np.asarray(exact_fd))
+            np.testing.assert_array_equal(np.asarray(got_mask),
+                                          np.asarray(exact_mask))
+            assert (np.asarray(exact_flat) <= np.asarray(got_flat)).all()
+    finally:
+        pallas_folded._STRIP_CAP = old_cap
 
 
 @pytest.mark.parametrize("method", ["Dinf", "Quinn"])

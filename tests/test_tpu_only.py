@@ -147,6 +147,29 @@ def test_fill_scan_multiscale_4096_exact_vs_native():
     np.testing.assert_array_equal(np.asarray(filled, np.float64), want)
 
 
+def test_flats_scan_2048_exact_vs_folded():
+    """The tropical-scan distance engine == the strip-sequential folded
+    sweeps at a production size, bitwise (exact small-integer
+    arithmetic on both sides): resolved directions and flat masks."""
+    from richdem_tpu import synth_jax
+    from richdem_tpu.ops import flats as F
+    from richdem_tpu.ops.pallas_folded import fill_fixpoint_folded
+    from richdem_tpu.ops.flowdirs import d8_flowdirs
+    import jax.numpy as jnp
+    h, w = 2048, 2176
+    dem_d = synth_jax.depression_dem(h, w, seed=13, n_pits=30)
+    filled, _, _ = fill_fixpoint_folded(dem_d, eps=0.0)
+    fd = d8_flowdirs(filled)
+    nd = jnp.zeros(filled.shape, bool)
+    fd_f, mask_f, _, info_f = F._resolve_impl_pallas(
+        filled, fd, nd, 256, engine="folded")
+    fd_s, mask_s, _, info_s = F._resolve_impl_pallas(
+        filled, fd, nd, 256, engine="scan")
+    assert bool(info_f[1]) and bool(info_s[1])
+    np.testing.assert_array_equal(np.asarray(fd_s), np.asarray(fd_f))
+    np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask_f))
+
+
 def test_accum_folded_2048_exact_vs_native():
     """Folded D8 accumulation (the production accum kernel) == native
     topological queue, bit-exact (unit weights ⇒ integer partial sums,
