@@ -438,18 +438,42 @@ def _mfd_scan_sweep(acc, w, props8, f, reverse):
 
 @functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
 def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
+    """4-sweep scan rotation: row scans + column scans (via transposed
+    refolds, plane permutation as in pallas_mfd).
+
+    Divergent metrics braid flow through BOTH vertical directions
+    repeatedly, so the 2-sweep row-scan rotation stays alternation-bound
+    (Quinn: 17→20→85 rotations at 96/128/2048 — grows with size), while
+    adding the column scans makes the count flat (~7 measured at
+    96/128): any path segment monotone in EITHER axis resolves within
+    one rotation.  6 dispatches per rotation like the folded engine, but
+    converging in O(1) instead of O(diameter) rotations — the on-chip
+    answer to [P2] §3-4's O(1)-round combine (SURVEY.md §5.7)."""
+    from richdem_tpu.ops.pallas_sweeps import _PERM_TRANSPOSE
+
     h, wd = weights.shape
     f = _F
     props_p = jnp.stack([
         _fold(_pad_to(props8[d], 0.0, mh=fold_pad, mw=fold_pad), f)
         for d in range(8)])
+    idx = np.array([_PERM_TRANSPOSE[d] - 1 for d in range(1, 9)])
+    props_t = jnp.stack([
+        _fold(_unfold(props_p[int(i_)], f).T, f) for i_ in idx])
     w_p = _pad_to(jnp.asarray(weights, jnp.float32), 0.0,
                   mh=fold_pad, mw=fold_pad)
     w_v = _fold(w_p, f)
+    w_t = _fold(w_p.T, f)
+
+    def _refold_T(x):
+        return _fold(_unfold(x, f).T, f)
 
     def rotation(acc):
         acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=False)
-        return _mfd_scan_sweep(acc, w_v, props_p, f, reverse=True)
+        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=True)
+        at = _refold_T(acc)
+        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=False)
+        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=True)
+        return _refold_T(at)
 
     def cond(state):
         _, it, done = state

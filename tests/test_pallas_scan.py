@@ -158,8 +158,10 @@ def test_mfd_scan_matches_oracle(method, kw):
 
 def test_mfd_scan_quinn_fewer_rotations():
     """Quinn was the convergence-bound case (~100 rotations at 2048²,
-    VERDICT r2 weak #2): the scan sweeps must cut the rotation count,
-    not just the per-rotation cost."""
+    VERDICT r2 weak #2): the 4-sweep scan rotation (row + column scans)
+    must cut the ROTATION count at equal dispatches per rotation — its
+    count is flat in grid size (~7) where the row-only variant and the
+    folded engine grow with the diameter."""
     from richdem_tpu.ops import pallas_mfd
     from richdem_tpu.ops.flowdirs import flow_proportions
     dem = synth.perlin_dem(96, 128, seed=13, dtype=np.float32)
@@ -172,8 +174,8 @@ def test_mfd_scan_quinn_fewer_rotations():
     _, it_fold, d2 = pallas_mfd.mfd_accumulation_gs(
         props, return_info=True, **FOLD)
     assert bool(d1) and bool(d2)
-    # 2 dispatches per scan rotation vs 6 per folded rotation
-    assert int(it_scan) * 2 < int(it_fold) * 6
+    assert int(it_scan) < int(it_fold)
+    assert int(it_scan) <= 10
 
 
 def test_scan_accum_fewer_dispatches_than_folded():

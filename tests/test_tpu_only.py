@@ -314,11 +314,12 @@ def test_dinf_scan_2048_vs_native():
 
 def test_quinn_scan_2048_vs_native_and_rotations():
     """Quinn is the convergence-bound metric (~74-100 folded rotations
-    at 2048² — VERDICT r2 weak #2).  Measured on hardware: the scan
-    engine does NOT cut Quinn's ROTATION count (85 vs 74 — its
-    convergence depth is vertical path alternation, which in-row scans
-    cannot shorten), so this gate checks exactness plus the weaker
-    dispatch-count reduction (2/rotation vs 6)."""
+    at 2048² — VERDICT r2 weak #2).  The row-only scan rotation did NOT
+    cut the count (85 vs 74: vertical path alternation); the 4-sweep
+    scan rotation (row + column scans, 6 dispatches/rotation like
+    folded) makes it flat (~7 at small sizes) — this gate requires ≥3×
+    fewer rotations than folded at 2048² plus exactness vs the native
+    queue."""
     native = _native_or_skip()
     from richdem_tpu import synth_jax
     from richdem_tpu.ops.flowdirs import flow_proportions
@@ -335,4 +336,4 @@ def test_quinn_scan_2048_vs_native_and_rotations():
     np.testing.assert_allclose(np.asarray(got, np.float64), want,
                                rtol=2e-5)
     _, it_fold, _ = mfd_accumulation_gs(props, return_info=True)
-    assert int(it_scan) * 2 < int(it_fold) * 6
+    assert int(it_scan) * 3 <= int(it_fold)
