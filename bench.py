@@ -20,7 +20,7 @@ reported separately as ``sync_floor_s`` — tunnel overhead, not kernel time).
 
 Env knobs: BENCH_SIZE (grid edge, default 8192 on TPU / 1024 on CPU),
 BENCH_REPS (default 5), BENCH_TERRAIN (perlin|cone|depressions),
-BENCH_CONFIG (pipeline|fill_flats|dinf_twi), BENCH_HBM_GBPS.
+BENCH_CONFIG (pipeline|fill_flats|dinf_twi|quinn_mfd), BENCH_HBM_GBPS.
 """
 
 import json
@@ -152,6 +152,21 @@ def dinf_twi_bytes_model(size, fill_rot, dinf_rot, multiscale):
     return _padded_cells(size) * per_cell
 
 
+#: 4-sweep scan MFD rotation: 4 sweeps × (acc r/w 8 B + 8 proportion
+#: planes 32 B + w 4 B) + 2 acc refolds 8 B + rotation equality 8 B
+_B_MFD_ROT = 4 * 44 + 16 + 8
+
+
+def quinn_bytes_model(size, fill_rot, mfd_rot, multiscale):
+    """HBM bytes for the Quinn config: fill + MFD proportions (8-plane
+    stencil ≈ 40 B) + generic multi-flow accumulation (transposed plane
+    stack setup ≈ 72 B)."""
+    per_cell = (fill_rot * _B_FILL_ROT + (_B_WARM if multiscale else 0)
+                + _B_FILL_SETUP + 40
+                + mfd_rot * _B_MFD_ROT + 72)
+    return _padded_cells(size) * per_cell
+
+
 def main():
     import jax
 
@@ -264,6 +279,29 @@ def main():
                      "dinf_rotations": int(out0[2])}
         bytes_model = lambda: dinf_twi_bytes_model(
             size, iter_info["fill_iters"], iter_info["dinf_rotations"],
+            multiscale=size >= 4096)
+    elif config == "quinn_mfd":
+        label = "fill+quinn-mfd-accum"
+        from richdem_tpu.ops.accum import flow_accumulation_from_props
+        from richdem_tpu.ops.flowdirs import flow_proportions
+
+        @jax.jit
+        def step(z):
+            filled, fi, fdone = _fill_info(z, 1e-2)
+            props = flow_proportions(filled, method="Quinn")
+            acc, ai, adone = flow_accumulation_from_props(
+                props, return_info=True)
+            return acc, fi, ai, fdone & adone
+
+        def run_once():
+            return float(step(z)[0][::64, ::64].sum())
+
+        out0 = step(z)
+        assert bool(out0[3]), "quinn config fixpoints did not converge"
+        iter_info = {"fill_iters": int(out0[1]),
+                     "mfd_rotations": int(out0[2])}
+        bytes_model = lambda: quinn_bytes_model(
+            size, iter_info["fill_iters"], iter_info["mfd_rotations"],
             multiscale=size >= 4096)
     else:
         raise SystemExit(f"unknown BENCH_CONFIG {config!r}")

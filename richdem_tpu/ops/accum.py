@@ -77,22 +77,25 @@ def accumulation_jacobi_info(props, weights=None, max_iters=4096,
 
 
 def flow_accumulation_from_props(props, weights=None, no_data_mask=None,
-                                 max_iters=4096):
+                                 max_iters=4096, return_info=False):
     """Weighted upstream accumulation from (H, W, 8) proportions.
 
     Nodata cells must already have zero proportions (they do, from
     :mod:`richdem_tpu.ops.flowdirs`); the mask only zeroes their output.
-    On TPU this runs the Pallas GS line sweeps (converges in a few
-    rotations; the Jacobi fixpoint here needs one iteration per flow-path
-    step, O(grid size) on river networks)."""
+    On TPU this runs the Pallas GS sweeps (engine-dispatching, see
+    ``pallas_mfd.mfd_accumulation_gs``).  ``return_info`` additionally
+    returns ``(rotations, converged)``."""
     if jax.default_backend() == "tpu":
         from richdem_tpu.ops.pallas_mfd import mfd_accumulation_gs
         return mfd_accumulation_gs(props, weights=weights,
-                                   no_data_mask=no_data_mask)
-    acc, _, _ = accumulation_jacobi_info(props, weights,
-                                         max_iters=max_iters)
+                                   no_data_mask=no_data_mask,
+                                   return_info=return_info)
+    acc, iters, done = accumulation_jacobi_info(props, weights,
+                                                max_iters=max_iters)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
+    if return_info:
+        return acc, iters, done
     return acc
 
 

@@ -21,11 +21,13 @@ def timeit(fn, reps=4):
 
 
 def main():
+    import os
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     from richdem_tpu import ops, synth_jax
     from richdem_tpu.ops.fill import auto_epsilon
     from richdem_tpu.ops.flats import resolve_flats
     from richdem_tpu.ops.pallas_folded import fill_fixpoint_folded
+    from richdem_tpu.ops.pallas_scan import fill_fixpoint_scan
 
     z = synth_jax.perlin_dem(n)
     float(z.sum())
@@ -37,30 +39,48 @@ def main():
     filled, fit, fdone = fill_fixpoint_folded(z, eps=eps_v)
     tf = timeit(lambda: float(jnp.asarray(
         fill_fixpoint_folded(z, eps=eps_v)[0]).sum()))
-    print(f"eps-fill: {tf*1e3:.1f} ms rot={int(fit)} "
+    print(f"eps-fill folded: {tf*1e3:.1f} ms rot={int(fit)} "
           f"({(tf-sync)/max(int(fit),1)*1e3:.2f} ms/rot)", flush=True)
+
+    fs, fits, _ = fill_fixpoint_scan(z, eps=eps_v)
+    tfs = timeit(lambda: float(jnp.asarray(
+        fill_fixpoint_scan(z, eps=eps_v)[0]).sum()))
+    ok = bool(jnp.allclose(fs, filled, rtol=1e-5, atol=1e-3))
+    print(f"eps-fill scan:   {tfs*1e3:.1f} ms rot={int(fits)} "
+          f"({(tfs-sync)/max(int(fits),1)*1e3:.2f} ms/rot) "
+          f"allclose={ok}", flush=True)
 
     fd = ops.d8_flowdirs(filled)
     td = timeit(lambda: float(jnp.asarray(
         ops.d8_flowdirs(filled), jnp.int32).sum()))
     print(f"d8: {td*1e3:.1f} ms", flush=True)
 
-    res, sit, sdone = resolve_flats(filled, fd, return_info=True)
-    tr = timeit(lambda: float(jnp.asarray(
-        resolve_flats(filled, fd), jnp.int32).sum()))
-    print(f"resolve_flats: {tr*1e3:.1f} ms rotations={int(sit)} "
-          f"({(tr-sync)/max(int(sit),1)*1e3:.2f} ms/rot) "
-          f"converged={bool(sdone)}", flush=True)
+    trs = {}
+    for eng in ("folded", "scan"):
+        os.environ["RICHDEM_TPU_FLATS_ENGINE"] = eng
+        res, sit, sdone = resolve_flats(filled, fd, return_info=True)
+        tr = timeit(lambda: float(jnp.asarray(
+            resolve_flats(filled, fd), jnp.int32).sum()))
+        trs[eng] = (tr, res)
+        print(f"resolve_flats {eng}: {tr*1e3:.1f} ms "
+              f"rotations={int(sit)} "
+              f"({(tr-sync)/max(int(sit),1)*1e3:.2f} ms/rot) "
+              f"converged={bool(sdone)}", flush=True)
+    del os.environ["RICHDEM_TPU_FLATS_ENGINE"]
+    same = bool(jnp.all(trs["folded"][1] == trs["scan"][1]))
+    print(f"flats engines bitwise equal: {same}", flush=True)
     # how many flat cells even exist after the eps fill?
     from richdem_tpu.topology import NO_FLOW
     nf = int((jnp.asarray(fd) == NO_FLOW).sum())
     print(f"NO_FLOW cells after eps-fill: {nf} "
           f"({100.0*nf/(n*n):.3f}%)", flush=True)
 
-    total = tf + td + tr
-    print(f"config2 total ≈ {total*1e3:.1f} ms -> "
-          f"{n*n/total/1e6:.0f} Mcells/s "
-          f"({n*n/total/5.5e6:.1f}x pinned baseline)", flush=True)
+    for fill_t, fl, trr in ((tf, "folded", trs["folded"][0]),
+                            (tfs, "scan", trs["scan"][0])):
+        total = fill_t + td + trr
+        print(f"config2 total [{fl} fill+flats] ≈ {total*1e3:.1f} ms -> "
+              f"{n*n/total/1e6:.0f} Mcells/s "
+              f"({n*n/total/5.5e6:.1f}x pinned baseline)", flush=True)
 
 
 if __name__ == "__main__":
