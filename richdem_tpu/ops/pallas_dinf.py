@@ -314,10 +314,12 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
                                    return_info=return_info)
     from richdem_tpu.ops.pallas_folded import _accum_engine
     if _accum_engine() == "scan":
-        from richdem_tpu.ops.pallas_scan import _dinf_scan_impl
+        from richdem_tpu.ops.pallas_scan import (_dinf_scan_impl,
+                                                 _dinf_scan_rot)
         v = pack_two_tap(code, jnp.asarray(p, jnp.float32))
         acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
-                                           fold_pad=fpad)
+                                           fold_pad=fpad,
+                                           rot4=_dinf_scan_rot() == 4)
         _require_converged(done, "D-infinity scan accumulation",
                            max_rotations)
         if no_data_mask is not None:

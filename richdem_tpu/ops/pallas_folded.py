@@ -555,23 +555,34 @@ def fill_fixpoint_pallas(*args, **kw):
     return fill_fixpoint_folded(*args, **kw)
 
 
-def _accum_engine():
+def _accum_engine(auto=None):
     """Production accumulation engine: ``RICHDEM_TPU_ACCUM_ENGINE`` =
-    ``scan`` (2 scan-GS sweeps/rotation, ops/pallas_scan.py) or
-    ``folded`` (4 sweeps + 2 transposes).  Read per call so tests and
-    benches can flip it without re-importing."""
+    ``scan`` (scan-GS sweeps, ops/pallas_scan.py), ``folded`` (4 sweeps
+    + 2 transposes) or ``auto`` (the default: each dispatcher picks the
+    engine its convergence profile favors — see the dispatch sites).
+    Read per call so tests and benches can flip it without
+    re-importing."""
     import os
-    return os.environ.get("RICHDEM_TPU_ACCUM_ENGINE", _ACCUM_DEFAULT)
+    eng = os.environ.get("RICHDEM_TPU_ACCUM_ENGINE", _ACCUM_DEFAULT)
+    if eng == "auto" and auto is not None:
+        return auto
+    return eng
 
 
-#: flipped to "scan" once the scan kernels' hardware gates + timings
-#: land (tests/test_tpu_only.py; tools/probe_scan.py)
-_ACCUM_DEFAULT = "folded"
+#: ``auto`` resolves per metric: D8 keeps the folded kernels (its GS
+#: fixpoint needs only 4-9 rotations and the folded sweep is ~1.7x
+#: cheaper than a scan sweep); divergent multi-flow metrics take the
+#: 4-sweep scan rotation (flat ~O(1) rotation count vs O(diameter) —
+#: Quinn at 2048^2: ~74 folded rotations; hardware gate
+#: tests/test_tpu_only.py asserts the >=3x reduction).
+_ACCUM_DEFAULT = "auto"
 
 
 def d8_accumulation_gs(*args, **kw):
-    """Engine-dispatching D8 accumulation (see :func:`_accum_engine`)."""
-    if _accum_engine() == "scan":
+    """Engine-dispatching D8 accumulation (see :func:`_accum_engine`);
+    ``auto`` keeps folded — D8's rotation count is already small (4-9)
+    and the folded sweep is cheaper than a scan sweep."""
+    if _accum_engine(auto="folded") == "scan":
         from richdem_tpu.ops.pallas_scan import d8_accumulation_scan
         return d8_accumulation_scan(*args, **kw)
     return d8_accumulation_folded(*args, **kw)

@@ -225,11 +225,14 @@ def _mfd_gs_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
 
 def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
                         max_rotations=512, fold_min=None, fold_pad=None,
-                        return_info=False):
+                        return_info=False, engine=None):
     """Weighted upstream accumulation from (H, W, 8) proportions — Pallas
     GS line sweeps (exact; same result as the oracle's topological queue).
     ``fold_min``/``fold_pad`` override the folded-kernel dispatch
-    thresholds for interpret-mode tests.
+    thresholds for interpret-mode tests.  ``engine`` pins
+    ``"scan"``/``"folded"`` explicitly (None → the
+    ``RICHDEM_TPU_ACCUM_ENGINE`` dispatch, whose ``auto`` default picks
+    scan here — see the dispatch comment below).
 
     The default rotation cap is deliberately high: dispersive metrics
     (Quinn) need ~100 rotations at 2048² where D∞ needs ~11 — the loop
@@ -248,7 +251,13 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
     if max(h, wd) >= fmin:
         fpad = _FOLD_PAD if fold_pad is None else fold_pad
         from richdem_tpu.ops.pallas_folded import _accum_engine
-        if _accum_engine() == "scan":
+        # auto -> scan: divergent metrics braid flow through both
+        # vertical directions, so the folded rotation count grows with
+        # the diameter (Quinn ~74 at 2048^2) while the 4-sweep scan
+        # rotation stays flat (~7) — the O(1)-vs-O(diameter) gap
+        # dwarfs the ~1.7x per-sweep scan cost.
+        eng = engine if engine is not None else _accum_engine(auto="scan")
+        if eng == "scan":
             from richdem_tpu.ops.pallas_scan import _mfd_scan_impl
             acc, iters, done = _mfd_scan_impl(props8, weights,
                                               max_rotations,

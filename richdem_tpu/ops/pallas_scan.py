@@ -257,8 +257,31 @@ def _accum_scan_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
     return _unfold(acc, f)[:h, :wd], iters, done
 
 
-@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
-def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD):
+def _dinf_scan_rot():
+    """Scan-engine D∞ rotation shape: ``RICHDEM_TPU_DINF_SCAN_ROT`` =
+    ``2`` (row sweeps only — alternation-bound like the row-only MFD
+    rotation, count grows with the diameter) or ``4`` (the default:
+    row + column scan sweeps via the transposed packed field — flat
+    rotation count; see ``_mfd_scan_impl``)."""
+    import os
+    return int(os.environ.get("RICHDEM_TPU_DINF_SCAN_ROT", "4"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_rotations", "fold_pad", "rot4"))
+def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD,
+                    rot4=True):
+    """D∞ scan-GS fixpoint from the packed two-tap field.
+
+    ``rot4`` adds the column scan sweeps on the transposed packed field
+    (``pallas_dinf._transpose_two_tap`` — the CCW pair flips to CW under
+    the reflection, so the pair (code, code+1, p) transposes to
+    (T(code+1), T(code+1)+1, 1−p)), making the rotation count flat in
+    the grid diameter exactly as for the generic MFD scan engine."""
+    from richdem_tpu.ops.pallas_dinf import (_transpose_two_tap,
+                                             pack_two_tap,
+                                             unpack_two_tap)
+
     h, wd = weights.shape
     f = _F
     v_p = _pad_to(jnp.asarray(v, jnp.float32), 0.0, mh=fold_pad,
@@ -268,11 +291,32 @@ def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD):
     v_v = _fold(v_p, f)
     w_v = _fold(w_p, f)
 
-    def rotation(acc):
-        acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
-                                tap=_dinf_tap)
-        return _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
-                                 tap=_dinf_tap)
+    if rot4:
+        c_p, p_p = unpack_two_tap(v_p)
+        ct_p, pt_p = _transpose_two_tap(c_p, p_p)
+        v_t = _fold(pack_two_tap(ct_p, pt_p), f)
+        w_t = _fold(w_p.T, f)
+
+        def _refold_T(x):
+            return _fold(_unfold(x, f).T, f)
+
+        def rotation(acc):
+            acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
+                                    tap=_dinf_tap)
+            acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
+                                    tap=_dinf_tap)
+            at = _refold_T(acc)
+            at = _accum_scan_sweep(at, w_t, v_t, f, reverse=False,
+                                   tap=_dinf_tap)
+            at = _accum_scan_sweep(at, w_t, v_t, f, reverse=True,
+                                   tap=_dinf_tap)
+            return _refold_T(at)
+    else:
+        def rotation(acc):
+            acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
+                                    tap=_dinf_tap)
+            return _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
+                                     tap=_dinf_tap)
 
     def cond(state):
         _, it, done = state
@@ -315,7 +359,8 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
                                     return_info=return_info)
     v = pack_two_tap(code, p)
     acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
-                                       fold_pad=fpad)
+                                       fold_pad=fpad,
+                                       rot4=_dinf_scan_rot() == 4)
     _require_converged(done, "scan-GS D-infinity accumulation",
                        max_rotations)
     if no_data_mask is not None:

@@ -136,7 +136,8 @@ def test_mfd_folded_matches_oracle():
     filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
     props = oracle.flow_proportions(filled, method="Quinn")
     got = np.asarray(mfd_accumulation_gs(np.asarray(props, np.float32),
-                                         **FOLD), np.float64)
+                                         engine="folded", **FOLD),
+                     np.float64)
     want = oracle.flow_accumulation_from_props(props)
     np.testing.assert_allclose(got, want, rtol=2e-5)
     # mass conservation: total outflow over the edge equals cell count

@@ -90,9 +90,12 @@ def test_scan_accum_weights_nodata():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
-def test_dinf_scan_matches_oracle():
+@pytest.mark.parametrize("rot", ["2", "4"])
+def test_dinf_scan_matches_oracle(rot, monkeypatch):
     """The scan-GS two-tap D∞ kernel vs the oracle topological queue
-    over the same quantized proportions."""
+    over the same quantized proportions — both the row-only (2-sweep)
+    and the row+column (4-sweep, transposed packed field) rotations."""
+    monkeypatch.setenv("RICHDEM_TPU_DINF_SCAN_ROT", rot)
     from richdem_tpu.ops.flowdirs import dinf_flowdirs
     from richdem_tpu.ops.pallas_dinf import (dinf_two_tap, pack_two_tap,
                                              two_tap_props,
@@ -172,7 +175,7 @@ def test_mfd_scan_quinn_fewer_rotations():
     _, it_scan, d1 = pallas_scan.mfd_accumulation_scan(
         props, return_info=True, **FOLD)
     _, it_fold, d2 = pallas_mfd.mfd_accumulation_gs(
-        props, return_info=True, **FOLD)
+        props, return_info=True, engine="folded", **FOLD)
     assert bool(d1) and bool(d2)
     assert int(it_scan) < int(it_fold)
     assert int(it_scan) <= 10

@@ -231,7 +231,8 @@ def test_mfd_folded_2048_vs_native():
     dem_d = synth_jax.perlin_dem(h, w, seed=23)
     filled, _, _ = fill_fixpoint_folded(dem_d, eps=1e-2)
     props = flow_proportions(filled, method="Quinn")
-    got = np.asarray(mfd_accumulation_gs(props), np.float64)
+    got = np.asarray(mfd_accumulation_gs(props, engine="folded"),
+                     np.float64)
     want = native.accum_props(np.asarray(props, np.float64))
     # f32 GS vs f64 queue: relative error grows ~sqrt(path length)·eps32
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
@@ -335,5 +336,6 @@ def test_quinn_scan_2048_vs_native_and_rotations():
     want = native.accum_props(np.asarray(props, np.float64))
     np.testing.assert_allclose(np.asarray(got, np.float64), want,
                                rtol=2e-5)
-    _, it_fold, _ = mfd_accumulation_gs(props, return_info=True)
+    _, it_fold, _ = mfd_accumulation_gs(props, return_info=True,
+                                        engine="folded")
     assert int(it_scan) * 3 <= int(it_fold)

@@ -54,13 +54,18 @@ def main():
         dinf_accumulation_gs(code, p)).sum()))
     print(f"folded dinf: {td*1e3:.1f} ms rot={int(itd)} "
           f"({(td-sync)/int(itd)*1e3:.2f} ms/rot)", flush=True)
-    a2, itd2, _ = PS.dinf_accumulation_scan(code, p, return_info=True)
-    td2 = timeit(lambda: float(jnp.asarray(
-        PS.dinf_accumulation_scan(code, p)).sum()))
-    print(f"scan dinf:   {td2*1e3:.1f} ms rot={int(itd2)} "
-          f"({(td2-sync)/int(itd2)*1e3:.2f} ms/rot)", flush=True)
-    same = np.allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5)
-    print("dinf outputs allclose:", same, flush=True)
+    import os
+    for rot in ("2", "4"):
+        os.environ["RICHDEM_TPU_DINF_SCAN_ROT"] = rot
+        a2, itd2, _ = PS.dinf_accumulation_scan(code, p,
+                                                return_info=True)
+        td2 = timeit(lambda: float(jnp.asarray(
+            PS.dinf_accumulation_scan(code, p)).sum()))
+        print(f"scan dinf rot{rot}: {td2*1e3:.1f} ms rot={int(itd2)} "
+              f"({(td2-sync)/int(itd2)*1e3:.2f} ms/rot)", flush=True)
+        same = np.allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5)
+        print(f"dinf rot{rot} outputs allclose:", same, flush=True)
+    del os.environ["RICHDEM_TPU_DINF_SCAN_ROT"]
 
 
 
@@ -80,9 +85,10 @@ def quinn(n):
         PS.mfd_accumulation_scan(props)).sum()), reps=2)
     print(f"scan quinn:   {t2*1e3:.1f} ms rot={int(it2)} "
           f"({(t2-sync)/int(it2)*1e3:.2f} ms/rot)", flush=True)
-    a1, it1, _ = mfd_accumulation_gs(props, return_info=True)
+    a1, it1, _ = mfd_accumulation_gs(props, return_info=True,
+                                     engine="folded")
     t1 = timeit(lambda: float(jnp.asarray(
-        mfd_accumulation_gs(props)).sum()), reps=2)
+        mfd_accumulation_gs(props, engine="folded")).sum()), reps=2)
     print(f"folded quinn: {t1*1e3:.1f} ms rot={int(it1)} "
           f"({(t1-sync)/int(it1)*1e3:.2f} ms/rot)", flush=True)
     import numpy as np
