@@ -16,9 +16,10 @@ Differences from pyrichdem, all deliberate and documented:
 * ``epsilon`` fills use a fixed auto-chosen epsilon, not ``nextafter``
   chains (appendix A.2 — same drainage structure, order-independent);
 * GeoTIFF IO is a built-in pure-python codec (classic TIFF and BigTIFF;
-  uncompressed or DEFLATE with horizontal/float predictors; multi-band;
-  windowed reads and streamed strip writes for larger-than-RAM rasters —
-  see :mod:`richdem_tpu.io.geotiff`); ``.npz``/``.asc`` cover the rest.
+  uncompressed, DEFLATE or LZW (+ PackBits reads) with horizontal/float
+  predictors both ways; multi-band reads; windowed reads and streamed
+  strip writes for larger-than-RAM rasters — see
+  :mod:`richdem_tpu.io.geotiff`); ``.npz``/``.asc`` cover the rest.
 """
 
 from __future__ import annotations

@@ -160,7 +160,14 @@ def cmd_geotransform(args):
 
 
 def cmd_convert(args):
-    _save(args.output, _load(args.input))
+    from richdem_tpu import io as rio
+    kw = {}
+    if getattr(args, "compress", None):
+        kw["compress"] = args.compress
+    if getattr(args, "predictor", None):
+        kw["predictor"] = args.predictor
+    rio.save(args.output, _load(args.input), **kw)
+    print(f"wrote {args.output}")
 
 
 def cmd_taudem(args):
@@ -319,6 +326,12 @@ def build_parser():
 
     sp = add("convert", cmd_convert, help="convert raster format")
     sp.add_argument("input"); sp.add_argument("output")
+    sp.add_argument("--compress", default=None,
+                    choices=["deflate", "lzw"],
+                    help="GeoTIFF output compression")
+    sp.add_argument("--predictor", type=int, default=None,
+                    choices=[2, 3],
+                    help="GeoTIFF predictor (2=int diff, 3=float)")
 
     sp = add("synth", cmd_synth, help="generate synthetic terrain")
     sp.add_argument("kind", choices=["cone", "inverted-cone", "saddle",

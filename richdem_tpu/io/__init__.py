@@ -8,10 +8,12 @@ package provides:
   format and phase-checkpoint medium (:mod:`richdem_tpu.io.npyio`);
 * ESRI ASCII grids (``.asc``) for interchange
   (:mod:`richdem_tpu.io.asciigrid`);
-* a minimal pure-python GeoTIFF codec (:mod:`richdem_tpu.io.geotiff`) for
-  uncompressed single-band files, which covers the common DEM tile case.
+* a pure-python GeoTIFF codec (:mod:`richdem_tpu.io.geotiff`): classic +
+  BigTIFF, DEFLATE/LZW/PackBits, predictors, windowed reads, streamed
+  strip writes.
 
-``load``/``save`` dispatch on extension.
+``load``/``save`` dispatch on extension; ``save`` forwards keyword
+arguments (e.g. ``compress=/predictor=`` for ``.tif``).
 """
 
 from richdem_tpu.io.npyio import load_npz, save_npz
@@ -34,13 +36,15 @@ def load(path):
     raise ValueError(f"unsupported raster extension: {path}")
 
 
-def save(path, rd):
-    """Save an :class:`richdem_tpu.grid.rdarray` by extension."""
+def save(path, rd, **kwargs):
+    """Save an :class:`richdem_tpu.grid.rdarray` by extension.  Extra
+    keyword arguments go to the format writer (``compress=``,
+    ``predictor=``, ``bigtiff=`` for ``.tif``)."""
     p = str(path).lower()
     if p.endswith(".npz"):
-        return save_npz(path, rd)
+        return save_npz(path, rd, **kwargs)
     if p.endswith((".asc", ".txt")):
-        return save_ascii(path, rd)
+        return save_ascii(path, rd, **kwargs)
     if p.endswith((".tif", ".tiff")):
-        return save_geotiff(path, rd)
+        return save_geotiff(path, rd, **kwargs)
     raise ValueError(f"unsupported raster extension: {path}")

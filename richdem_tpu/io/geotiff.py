@@ -14,10 +14,11 @@ Array2D row: GDAL *windowed* load feeds the tiled programs; §7 hard-part
   parses only the IFD and decodes just the strips/tiles overlapping a
   requested window — this is what lets ``out_of_core_*`` stream a
   compressed GeoTIFF larger than RAM through the chip;
-* writing: little-endian, single band, strip-organized, uncompressed or
-  ``compress="deflate"``, classic or BigTIFF (``bigtiff="auto"`` trips
-  past the 4 GB classic offset cap), with geotransform + nodata +
-  PROCESSING_HISTORY;
+* writing: little-endian, single band, strip-organized, uncompressed,
+  ``compress="deflate"`` or ``compress="lzw"``, optional horizontal (2)
+  / floating-point (3) predictors, classic or BigTIFF
+  (``bigtiff="auto"`` trips past the 4 GB classic offset cap), with
+  geotransform + nodata + PROCESSING_HISTORY;
 * **streamed writing**: :class:`GeoTIFFStripWriter` takes row bands as
   they are produced (the out-of-core drivers' tile rows), holding only
   one strip in RAM — the IFD is pre-sized and the strip offset/count
@@ -113,6 +114,55 @@ def _lzw_decode(data):
     return bytes(out)
 
 
+def _lzw_encode(data):
+    """TIFF-flavor LZW encoder (MSB-first codes, early change), the
+    inverse of :func:`_lzw_decode` — TIFF 6.0 spec §13.  Pure python:
+    fine for the ≤4 MB strips the writer emits, but DEFLATE is the
+    faster choice for bulk output."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+
+    def emit(code):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    emit(256)                                # leading clear
+    omega = b""
+    for byte in bytes(data):
+        k = bytes([byte])
+        if omega + k in table:
+            omega += k
+            continue
+        emit(table[omega])
+        table[omega + k] = next_code
+        next_code += 1
+        # early change: widen after ASSIGNING code 2^w - 2, so the
+        # decoder (whose table lags one entry) widens in lockstep
+        if next_code == (1 << width) - 1:
+            if width == 12:
+                emit(256)                    # table full: clear + reset
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            else:
+                width += 1
+        omega = k
+    if omega:
+        emit(table[omega])
+    emit(257)                                # EOI
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
 def _packbits_decode(data):
     out = bytearray()
     i = 0
@@ -195,6 +245,26 @@ def _undo_predictor(block, predictor, dtype, spp):
         return (shuffled.reshape(h, wc * nb).view(be)
                 .astype(dtype).reshape(h, wc))
     return block
+
+
+def _apply_predictor(strip, predictor):
+    """Forward TIFF predictor on a single-band (rows, cols) strip —
+    the exact inverse of :func:`_undo_predictor` at spp=1.  Returns the
+    raw bytes to compress."""
+    if predictor == 2:          # horizontal differencing (integers)
+        d = strip.copy()
+        d[:, 1:] -= strip[:, :-1]            # wraps mod 2^bits
+        return d.tobytes()
+    if predictor == 3:          # floating-point (byte-plane + diff)
+        h, wc = strip.shape
+        nb = strip.dtype.itemsize
+        be = np.dtype(strip.dtype.str.replace("<", ">")
+                      .replace("=", ">"))
+        pix = strip.astype(be).view(np.uint8).reshape(h, wc, nb)
+        raw = np.moveaxis(pix, 2, 1).reshape(h, wc * nb).copy()
+        raw[:, 1:] -= raw[:, :-1].copy()     # uint8 wraparound diff
+        return raw.tobytes()
+    return strip.tobytes()
 
 
 class GeoTIFFWindow:
@@ -395,14 +465,23 @@ class GeoTIFFStripWriter:
     def __init__(self, path, shape, dtype, compress=None,
                  rows_per_strip=None, geotransform=None, no_data=None,
                  projection="", description="richdem_tpu",
-                 bigtiff="auto"):
-        if compress not in (None, "deflate"):
+                 bigtiff="auto", predictor=None):
+        if compress not in (None, "deflate", "lzw"):
             raise ValueError(f"unsupported compression {compress!r}")
         self.height, self.width = int(shape[0]), int(shape[1])
         self.dtype = np.dtype(dtype).newbyteorder("<")
         if self.dtype.kind not in "uif":
             raise ValueError(f"cannot write dtype {dtype} to GeoTIFF")
+        if predictor not in (None, 2, 3):
+            raise ValueError(f"unsupported predictor {predictor!r}")
+        if predictor and not compress:
+            raise ValueError("predictor requires compression")
+        if predictor == 2 and self.dtype.kind == "f":
+            raise ValueError("predictor 2 is for integer samples; use 3")
+        if predictor == 3 and self.dtype.kind != "f":
+            raise ValueError("predictor 3 is for float samples; use 2")
         self._compress = compress
+        self._predictor = predictor
         if rows_per_strip is None:
             rows_per_strip = max(1, min(
                 self.height,
@@ -435,8 +514,11 @@ class GeoTIFFStripWriter:
         tag_long(_IMAGE_WIDTH, self.width)
         tag_long(_IMAGE_LENGTH, self.height)
         tag_short(_BITS_PER_SAMPLE, self.dtype.itemsize * 8)
-        tag_short(_COMPRESSION, 8 if compress else 1)
+        tag_short(_COMPRESSION,
+                  {None: 1, "deflate": 8, "lzw": _LZW}[compress])
         tag_short(_PHOTOMETRIC, 1)  # BlackIsZero
+        if predictor:
+            tag_short(_PREDICTOR, predictor)
         tag_ascii(_IMAGE_DESCRIPTION,
                   (description or "richdem_tpu").encode("ascii",
                                                         "replace") + b"\0")
@@ -526,9 +608,13 @@ class GeoTIFFStripWriter:
             self._buf = self._buf[self._rps:]
 
     def _emit(self, strip):
-        raw = np.ascontiguousarray(strip).tobytes()
-        if self._compress:
+        strip = np.ascontiguousarray(strip)
+        raw = (_apply_predictor(strip, self._predictor)
+               if self._predictor else strip.tobytes())
+        if self._compress == "deflate":
             raw = zlib.compress(raw, 6)
+        elif self._compress == "lzw":
+            raw = _lzw_encode(raw)
         self._offsets.append(self._f.tell())
         self._counts.append(len(raw))
         self._f.write(raw)
@@ -561,10 +647,13 @@ class GeoTIFFStripWriter:
 
 
 def save_geotiff(path, rd, compress=None, rows_per_strip=None,
-                 bigtiff="auto"):
-    """Write a single-band GeoTIFF; ``compress="deflate"`` enables
-    per-strip zlib (Compression=8, no predictor); BigTIFF automatic
-    past the classic 4 GB cap (rides :class:`GeoTIFFStripWriter`)."""
+                 bigtiff="auto", predictor=None):
+    """Write a single-band GeoTIFF; ``compress`` is ``"deflate"``
+    (Compression=8, zlib — the fast bulk choice) or ``"lzw"``
+    (Compression=5); ``predictor`` 2 (integer horizontal diff) or 3
+    (float byte-plane diff) shrinks smooth DEM rasters substantially;
+    BigTIFF automatic past the classic 4 GB cap (rides
+    :class:`GeoTIFFStripWriter`)."""
     if not isinstance(rd, rdarray):
         rd = rdarray(rd)
     arr = rd.np()
@@ -575,7 +664,8 @@ def save_geotiff(path, rd, compress=None, rows_per_strip=None,
         rows_per_strip=rows_per_strip, geotransform=rd.geotransform,
         no_data=rd.no_data, projection=rd.projection or "",
         description=(rd.metadata.get("PROCESSING_HISTORY", "")
-                     or "richdem_tpu"), bigtiff=bigtiff)
+                     or "richdem_tpu"), bigtiff=bigtiff,
+        predictor=predictor)
     step = max(1, w._rps)
     for y0 in range(0, arr.shape[0], step):
         w.write_rows(arr[y0:y0 + step])

@@ -87,6 +87,17 @@ def test_synth_and_convert(tmp_path):
     assert back.shape == (64, 64)
 
 
+def test_convert_compressed_tif(tmp_path):
+    from richdem_tpu.io import load_geotiff
+    cone = tmp_path / "cone.npz"
+    tif = tmp_path / "cone_lzw.tif"
+    main(["synth", "cone", str(cone), "--size", "64"])
+    main(["convert", str(cone), str(tif),
+          "--compress", "lzw", "--predictor", "3"])
+    np.testing.assert_array_equal(load_geotiff(tif).np(),
+                                  load_npz(cone).np())
+
+
 def test_expand_dimensions_verb(tmp_path, dem_path):
     out = tmp_path / "big.npz"
     main(["expand-dimensions", str(dem_path), str(out),

@@ -482,3 +482,61 @@ def test_out_of_core_accum_writes_geotiff(tmp_path):
         got = np.asarray(r)
     want = oracle.d8_accumulation(fd)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# -- round 3b: LZW + predictor WRITE paths --------------------------------
+
+def test_lzw_encoder_matches_independent_implementation():
+    """Production _lzw_encode vs the test-local spec encoder above —
+    two implementations, byte-identical streams (and both decode)."""
+    from richdem_tpu.io.geotiff import _lzw_decode, _lzw_encode
+    rng = np.random.default_rng(11)
+    for data in (b"ababababab" * 30,
+                 bytes(rng.integers(0, 256, 40000, np.uint8)),
+                 bytes(rng.integers(0, 4, 30000, np.uint8)),  # runs
+                 b"", b"x"):
+        enc = _lzw_encode(data)
+        assert enc == _tiff_lzw_encode(data)
+        assert _lzw_decode(enc) == data
+
+
+@pytest.mark.parametrize("dtype,predictor", [
+    (np.int32, None), (np.int32, 2), (np.uint16, 2),
+    (np.float32, None), (np.float32, 3), (np.float64, 3)])
+@pytest.mark.parametrize("compress", ["deflate", "lzw"])
+def test_geotiff_write_compressed_roundtrip(tmp_path, dtype, predictor,
+                                            compress):
+    rng = np.random.default_rng(13)
+    base = np.cumsum(rng.integers(-2, 3, (33, 47)), axis=1)  # smooth-ish
+    arr = base.astype(dtype)
+    p = tmp_path / "c.tif"
+    save_geotiff(p, rd.rdarray(arr, no_data=-1), compress=compress,
+                 predictor=predictor, rows_per_strip=7)
+    back = load_geotiff(p)
+    np.testing.assert_array_equal(back.np(), arr)
+    assert back.np().dtype == arr.dtype
+    assert back.no_data == -1
+
+
+def test_geotiff_predictor_shrinks_smooth_dem(tmp_path):
+    """Predictor 3 should beat plain deflate on a smooth float DEM."""
+    dem = synth.perlin_dem(128, seed=2, dtype=np.float32)
+    a = tmp_path / "plain.tif"
+    b = tmp_path / "pred.tif"
+    save_geotiff(a, rd.rdarray(dem), compress="deflate")
+    save_geotiff(b, rd.rdarray(dem), compress="deflate", predictor=3)
+    assert b.stat().st_size < a.stat().st_size
+    np.testing.assert_array_equal(load_geotiff(b).np(), dem)
+
+
+def test_geotiff_writer_predictor_validation(tmp_path):
+    from richdem_tpu.io.geotiff import GeoTIFFStripWriter
+    with pytest.raises(ValueError, match="requires compression"):
+        GeoTIFFStripWriter(str(tmp_path / "x.tif"), (4, 4), np.int32,
+                           predictor=2)
+    with pytest.raises(ValueError, match="integer"):
+        GeoTIFFStripWriter(str(tmp_path / "x.tif"), (4, 4), np.float32,
+                           compress="lzw", predictor=2)
+    with pytest.raises(ValueError, match="float"):
+        GeoTIFFStripWriter(str(tmp_path / "x.tif"), (4, 4), np.int32,
+                           compress="lzw", predictor=3)
