@@ -107,9 +107,12 @@ def _lzw_decode(data):
             table.append(entry)
         out += entry
         prev = entry
-        # early-change: the writer widens after ASSIGNING code 2^w - 2,
-        # and the reader's table lags one entry behind the writer's
-        if len(table) + 2 >= (1 << width) and width < 12:
+        # early change (TIFF 6.0 §13 / libtiff): widen as soon as the
+        # table holds 2^w - 1 entries — one code EARLIER than plain LZW,
+        # because the writer (whose table is one entry ahead) switched
+        # after assigning code 2^w - 1.  Verified against libtiff/PIL
+        # streams: the 9→10 switch lands after decoded code #254.
+        if len(table) + 1 >= (1 << width) and width < 12:
             width += 1
     return bytes(out)
 
@@ -144,16 +147,17 @@ def _lzw_encode(data):
         emit(table[omega])
         table[omega + k] = next_code
         next_code += 1
-        # early change: widen after ASSIGNING code 2^w - 2, so the
-        # decoder (whose table lags one entry) widens in lockstep
-        if next_code == (1 << width) - 1:
-            if width == 12:
-                emit(256)                    # table full: clear + reset
-                table = {bytes([i]): i for i in range(256)}
-                next_code = 258
-                width = 9
-            else:
-                width += 1
+        # early change: widen after ASSIGNING code 2^w - 1, so the
+        # decoder (whose table lags one entry) widens in lockstep after
+        # APPENDING entry 2^w - 2; clear at 4094 exactly like libtiff so
+        # standard readers never see a table-overflow code
+        if next_code == 4094:
+            emit(256)                        # table full: clear + reset
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        elif next_code == (1 << width) and width < 12:
+            width += 1
         omega = k
     if omega:
         emit(table[omega])
@@ -370,11 +374,21 @@ class GeoTIFFWindow:
             raw = _packbits_decode(raw)
         n = rows * cols * self._spp
         flat = np.frombuffer(raw, dtype=self._file_dtype, count=n)
-        block = flat.reshape(rows, cols * self._spp).astype(
-            self.dtype.newbyteorder("="), copy=True)
-        if self._pred != 1:
-            block = _undo_predictor(block, self._pred, self.dtype,
-                                    self._spp)
+        if self._pred == 3:
+            # predictor 3 differences the RAW byte stream (plane-major,
+            # MSB-first regardless of the file's byte order) — undo it
+            # on file-order bytes BEFORE element conversion; an MM file
+            # on an LE host would otherwise byteswap the differenced
+            # planes first and decode to garbage
+            block = _undo_predictor(
+                flat.reshape(rows, cols * self._spp).copy(), 3,
+                self.dtype, self._spp)
+        else:
+            block = flat.reshape(rows, cols * self._spp).astype(
+                self.dtype.newbyteorder("="), copy=True)
+            if self._pred == 2:
+                block = _undo_predictor(block, 2, self.dtype,
+                                        self._spp)
         if self._spp > 1:
             block = block.reshape(rows, cols, self._spp)[:, :, self.band]
         return block
@@ -590,7 +604,8 @@ class GeoTIFFStripWriter:
         self._off_fmt = off_fmt
         self._offsets = []
         self._counts = []
-        self._buf = np.empty((0, self.width), self.dtype)
+        self._buf = []            # pending bands, concatenated per strip
+        self._buf_rows = 0
         self._rows_written = 0
         self.path = path
 
@@ -601,11 +616,18 @@ class GeoTIFFStripWriter:
             raise ValueError(f"band shape {rows.shape} != (*, "
                              f"{self.width})")
         rows = rows.astype(self.dtype, copy=False)
-        self._buf = (rows if self._buf.shape[0] == 0
-                     else np.concatenate([self._buf, rows]))
-        while self._buf.shape[0] >= self._rps:
-            self._emit(self._buf[:self._rps])
-            self._buf = self._buf[self._rps:]
+        # buffer bands in a list so row-at-a-time streaming costs
+        # O(rows appended), not a full-strip copy per call; one
+        # concatenate per emitted strip
+        self._buf.append(rows)
+        self._buf_rows += rows.shape[0]
+        while self._buf_rows >= self._rps:
+            pending = (self._buf[0] if len(self._buf) == 1
+                       else np.concatenate(self._buf))
+            self._emit(pending[:self._rps])
+            rest = pending[self._rps:]
+            self._buf = [rest] if rest.shape[0] else []
+            self._buf_rows = rest.shape[0]
 
     def _emit(self, strip):
         strip = np.ascontiguousarray(strip)
@@ -621,9 +643,11 @@ class GeoTIFFStripWriter:
         self._rows_written += strip.shape[0]
 
     def close(self):
-        if self._buf.shape[0]:
-            self._emit(self._buf)
-            self._buf = self._buf[:0]
+        if self._buf_rows:
+            self._emit(self._buf[0] if len(self._buf) == 1
+                       else np.concatenate(self._buf))
+            self._buf = []
+            self._buf_rows = 0
         if self._rows_written != self.height:
             raise ValueError(
                 f"GeoTIFFStripWriter closed after {self._rows_written} of "

@@ -79,7 +79,7 @@ def ring_index(th, tw):
 
 
 @jax.jit
-def _labels_impl(z, nd, fd_res, ge_mask):
+def _labels_impl(nd, fd_res, ge_mask):
     """Per-cell labels on the locally-filled surface: 0 = ocean, else
     1 + flat index of the drain cell reached.  ``ge_mask`` bool (H, W):
     cells on a global DEM edge."""
@@ -190,7 +190,7 @@ def fill_tile_consumer(z_tile, no_data=None, global_edges=0):
         ge |= cols == 0
     if global_edges & GE_RIGHT:
         ge |= cols == w - 1
-    lab = _labels_impl(z, nd, fd_res, ge)
+    lab = _labels_impl(nd, fd_res, ge)
 
     ea, eb, ew = _extract_edges(w_loc, nd, lab)
     ridx = ring_index(h, w)

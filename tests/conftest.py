@@ -11,6 +11,14 @@ _USE_TPU = os.environ.get("RICHDEM_TPU_TEST_TPU") == "1"
 
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # CPU suite gets its OWN persistent-cache dir: sharing
+    # ~/.cache/richdem_tpu_xla with concurrent TPU/bench processes has
+    # produced corrupt entries that abort/segfault the reader mid-suite
+    # (two reproduced crashes at the same cache-hit point, both gone
+    # under an isolated dir).
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/richdem_tpu_xla_cpu"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

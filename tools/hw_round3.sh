@@ -10,7 +10,8 @@ run() {
   name=$1; shift
   echo "=== $name: $* ($(date))" | tee -a "$L/driver.log"
   timeout "${STEP_TIMEOUT:-3600}" "$@" 2>&1 | tee "$L/$name.log" | tail -n 25
-  echo "=== $name exit=$? ($(date))" | tee -a "$L/driver.log"
+  rc=${PIPESTATUS[0]}
+  echo "=== $name exit=$rc ($(date))" | tee -a "$L/driver.log"
 }
 
 # 1. TPU-only exact gates (incl. the new scan-engine gates)
