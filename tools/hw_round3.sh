@@ -22,6 +22,10 @@ run probe_scan_4096 python tools/probe_scan.py 4096
 run probe_quinn_4096 python tools/probe_scan.py 4096 quinn
 run probe_flats_4096 python tools/probe_flats.py 4096
 
+# 2b. Out-of-core 16k^2 two-pass fill, DEVICE consumer (VERDICT r2
+#     missing #1 done-criterion: >=10x over the 297 s round-2 figure)
+run ooc_16k python tools/outofcore_bench.py 16384 4096 device
+
 # 3. Benches (pinned baseline; roofline printed per config)
 BENCH_CONFIG=fill_flats BENCH_SIZE=4096 run bench_c2_4096 python bench.py
 BENCH_CONFIG=dinf_twi  BENCH_SIZE=4096 run bench_c4_4096 python bench.py
