@@ -97,23 +97,40 @@ def _shift_rev(x, k, fill, ctx=None):
     return jnp.where(flat < f * L - k, out, fill)
 
 
-def _affine_scan(gate, base, reverse, ctx=None):
+def _affine_scan(gate, base, reverse, ctx=None, seed=None, depth=0):
     """Solve new[j] = base[j] + gate[j]·new[j∓1] exactly (row-local).
 
     Hillis–Steele composition of affine maps (a, b): after log₂(f·L)
     doubling steps, b carries the full-prefix result (x₀ = 0 beyond the
-    row edge)."""
+    row edge).
+
+    ``depth`` > 0 truncates the composition at the next power of two ≥
+    depth and closes the window with the OLD row values ``seed``:
+    after the loop (a, b) at j represent the map over the last ``d``
+    entries (new[j] = b[j] + a[j]·x[j∓d]), so seeding x with the old
+    accumulation makes the sweep a hybrid GS/Jacobi update.  This stays
+    EXACT at the fixpoint: a[j] > 0 requires an unbroken in-row chain
+    over the window, along which no cell receives cross-chain inflow
+    (a positive E proportion at m−1→m forbids a positive W proportion
+    m→m−1 on a downhill flow field), so the chain's old values already
+    equal the scan solution there; the rotation-level equality
+    convergence then certifies the full fixpoint, trading ~log₂(W/d)
+    scan steps per sweep against extra rotations for chains > d."""
     f, L = gate.shape
     w = f * L
+    lim = w if depth <= 0 else min(1 << max(0, (depth - 1)).bit_length(),
+                                   w)
     if ctx is None:
         ctx = _iota_ctx(gate.shape)
     shift = _shift_rev if reverse else _shift_fwd
     a, b = gate, base
     d = 1
-    while d < w:
+    while d < lim:
         b = a * shift(b, d, 0.0, ctx) + b
         a = a * shift(a, d, 1.0, ctx)
         d *= 2
+    if d < w and seed is not None:
+        b = b + a * shift(seed, d, 0.0, ctx)
     return b
 
 
@@ -134,7 +151,8 @@ def _dinf_tap(v, target):
 
 
 def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
-                       out_ref, c_acc, c_fd, *, bh, f, reverse, tap):
+                       out_ref, c_acc, c_fd, *, bh, f, reverse, tap,
+                       depth=0):
     """One scan-GS sweep of ``A = w + Pᵀ A``.
 
     forward: NEW side = processed row above (tap weights toward S=7
@@ -188,8 +206,11 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
         # feeding a W-chain needs a 2-cycle), hence additive
         gE = _shift_fwd(tap(fd_l, 5), 1, zero, ctx)
         gW = _shift_rev(tap(fd_l, 1), 1, zero, ctx)
-        newE = _affine_scan(gE, base, reverse=False, ctx=ctx)
-        newW = _affine_scan(gW, base, reverse=True, ctx=ctx)
+        seed = acc_ref[sl] if depth else None
+        newE = _affine_scan(gE, base, reverse=False, ctx=ctx,
+                            seed=seed, depth=depth)
+        newW = _affine_scan(gW, base, reverse=True, ctx=ctx,
+                            seed=seed, depth=depth)
         new = newE + newW - base
         out_ref[sl] = new
         return (new, fd_l)
@@ -200,7 +221,7 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
     c_fd[...] = fd_fin
 
 
-def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap):
+def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, depth=0):
     hf, L = acc.shape
     h = hf // f
     bh = _fold_strip_height(h, L * f, n_bufs=5)
@@ -217,7 +238,7 @@ def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap):
 
     return pl.pallas_call(
         functools.partial(_accum_scan_kernel, bh=bh, f=f,
-                          reverse=reverse, tap=tap),
+                          reverse=reverse, tap=tap, depth=depth),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
         grid=(n,),
         in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
@@ -227,8 +248,20 @@ def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap):
     )(w, fd, fd, acc, acc)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
-def _accum_scan_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
+def _scan_depth():
+    """``RICHDEM_TPU_SCAN_DEPTH``: truncate the in-row prefix scans at
+    this chain length (0 = full row width — exact in one solve).
+    Shorter depths drop log₂(W/depth) doubling steps per sweep and pay
+    for in-row chains longer than the depth with extra rotations; the
+    result stays exact either way (see ``_affine_scan``)."""
+    import os
+    return int(os.environ.get("RICHDEM_TPU_SCAN_DEPTH", "0"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_rotations", "fold_pad", "depth"))
+def _accum_scan_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD,
+                     depth=0):
     h, wd = fd.shape
     fd_p = _pad_to(jnp.asarray(fd, jnp.int32).clip(0), 0,
                    mh=fold_pad, mw=fold_pad)
@@ -239,8 +272,10 @@ def _accum_scan_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD):
     w_v = _fold(w_p, f)
 
     def rotation(acc):
-        acc = _accum_scan_sweep(acc, w_v, fd_v, f, reverse=False)
-        return _accum_scan_sweep(acc, w_v, fd_v, f, reverse=True)
+        acc = _accum_scan_sweep(acc, w_v, fd_v, f, reverse=False,
+                                depth=depth)
+        return _accum_scan_sweep(acc, w_v, fd_v, f, reverse=True,
+                                 depth=depth)
 
     def cond(state):
         _, it, done = state
@@ -268,9 +303,10 @@ def _dinf_scan_rot():
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_rotations", "fold_pad", "rot4"))
+                   static_argnames=("max_rotations", "fold_pad", "rot4",
+                                    "depth"))
 def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD,
-                    rot4=True):
+                    rot4=True, depth=0):
     """D∞ scan-GS fixpoint from the packed two-tap field.
 
     ``rot4`` adds the column scan sweeps on the transposed packed field
@@ -302,21 +338,21 @@ def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD,
 
         def rotation(acc):
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
-                                    tap=_dinf_tap)
+                                    tap=_dinf_tap, depth=depth)
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
-                                    tap=_dinf_tap)
+                                    tap=_dinf_tap, depth=depth)
             at = _refold_T(acc)
             at = _accum_scan_sweep(at, w_t, v_t, f, reverse=False,
-                                   tap=_dinf_tap)
+                                   tap=_dinf_tap, depth=depth)
             at = _accum_scan_sweep(at, w_t, v_t, f, reverse=True,
-                                   tap=_dinf_tap)
+                                   tap=_dinf_tap, depth=depth)
             return _refold_T(at)
     else:
         def rotation(acc):
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
-                                    tap=_dinf_tap)
+                                    tap=_dinf_tap, depth=depth)
             return _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
-                                     tap=_dinf_tap)
+                                     tap=_dinf_tap, depth=depth)
 
     def cond(state):
         _, it, done = state
@@ -360,7 +396,8 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
     v = pack_two_tap(code, p)
     acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
                                        fold_pad=fpad,
-                                       rot4=_dinf_scan_rot() == 4)
+                                       rot4=_dinf_scan_rot() == 4,
+                                       depth=_scan_depth())
     _require_converged(done, "scan-GS D-infinity accumulation",
                        max_rotations)
     if no_data_mask is not None:
@@ -373,7 +410,7 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
 def _mfd_scan_kernel(acc_ref, accx_ref, w_ref,
                      p1, p2, p3, p4, p5, p6, p7, p8,
                      px_a, px_b, px_c,
-                     out_ref, carry, *, bh, f, reverse):
+                     out_ref, carry, *, bh, f, reverse, depth=0):
     """Scan-GS sweep over (8, H·f, L) folded proportion planes: previous
     row trio NEW via the carry, BOTH in-row chains NEW via the scans
     (gates = the neighbors' E/W proportions — float affine coefficients),
@@ -427,8 +464,11 @@ def _mfd_scan_kernel(acc_ref, accx_ref, w_ref,
         base = w_l + newc + oldb
         gE = _shift_fwd(fd5, 1, zero, ctx)   # west nbr's E proportion
         gW = _shift_rev(fd1, 1, zero, ctx)   # east nbr's W proportion
-        newE = _affine_scan(gE, base, reverse=False, ctx=ctx)
-        newW = _affine_scan(gW, base, reverse=True, ctx=ctx)
+        seed = acc_ref[asl] if depth else None
+        newE = _affine_scan(gE, base, reverse=False, ctx=ctx,
+                            seed=seed, depth=depth)
+        newW = _affine_scan(gW, base, reverse=True, ctx=ctx,
+                            seed=seed, depth=depth)
         new = newE + newW - base
         out_ref[asl] = new
         return jnp.concatenate(
@@ -438,7 +478,7 @@ def _mfd_scan_kernel(acc_ref, accx_ref, w_ref,
     carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
 
 
-def _mfd_scan_sweep(acc, w, props8, f, reverse):
+def _mfd_scan_sweep(acc, w, props8, f, reverse, depth=0):
     from richdem_tpu.ops.pallas_folded import _strip_maps
 
     hf, L = acc.shape
@@ -472,7 +512,8 @@ def _mfd_scan_sweep(acc, w, props8, f, reverse):
         + [plane_xblk(d) for d in old_set]
     )
     return pl.pallas_call(
-        functools.partial(_mfd_scan_kernel, bh=bh, f=f, reverse=reverse),
+        functools.partial(_mfd_scan_kernel, bh=bh, f=f, reverse=reverse,
+                          depth=depth),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
         grid=(n,),
         in_specs=in_specs,
@@ -481,8 +522,10 @@ def _mfd_scan_sweep(acc, w, props8, f, reverse):
     )(acc, acc, w, *([props8] * 11))
 
 
-@functools.partial(jax.jit, static_argnames=("max_rotations", "fold_pad"))
-def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
+@functools.partial(jax.jit,
+                   static_argnames=("max_rotations", "fold_pad", "depth"))
+def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD,
+                   depth=0):
     """4-sweep scan rotation: row scans + column scans (via transposed
     refolds, plane permutation as in pallas_mfd).
 
@@ -513,11 +556,15 @@ def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD):
         return _fold(_unfold(x, f).T, f)
 
     def rotation(acc):
-        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=False)
-        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=True)
+        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=False,
+                              depth=depth)
+        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=True,
+                              depth=depth)
         at = _refold_T(acc)
-        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=False)
-        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=True)
+        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=False,
+                             depth=depth)
+        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=True,
+                             depth=depth)
         return _refold_T(at)
 
     def cond(state):
@@ -559,7 +606,8 @@ def mfd_accumulation_scan(props, weights=None, no_data_mask=None,
                                    return_info=return_info)
     props8 = jnp.moveaxis(props.astype(jnp.float32), -1, 0)
     acc, iters, done = _mfd_scan_impl(props8, weights, max_rotations,
-                                      fold_pad=fpad)
+                                      fold_pad=fpad,
+                                      depth=_scan_depth())
     _require_converged(done, "scan-GS MFD accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
@@ -590,7 +638,8 @@ def d8_accumulation_scan(flowdirs, weights=None, no_data_mask=None,
     if no_data_mask is not None:
         weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
     acc, iters, done = _accum_scan_impl(fd, weights, max_rotations,
-                                        fold_pad=fpad)
+                                        fold_pad=fpad,
+                                        depth=_scan_depth())
     _require_converged(done, "scan-GS D8 accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)

@@ -293,3 +293,95 @@ def test_fill_engine_env_dispatch(monkeypatch):
         dem, eps=1e-3, multiscale=False, **FOLD)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Truncated scan depth (RICHDEM_TPU_SCAN_DEPTH)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("depth", [32])
+def test_scan_accum_truncated_depth_serpentine_exact(depth, monkeypatch):
+    """Truncating the prefix scans drops log2(W/depth) doubling steps
+    per sweep; chains LONGER than the depth (the full-width serpentine
+    runs here) must resolve over extra rotations via the old-value seed
+    and still land on the exact fixpoint (equality convergence).
+    (depth=8 works too but needs ~path/depth ≈ 300 rotations on this
+    adversarial case — the documented trade, too slow for interpret
+    mode; the depression-DEM tests below cover depth=8.)"""
+    monkeypatch.setenv("RICHDEM_TPU_SCAN_DEPTH", str(depth))
+    h, w = 64, 72
+    fd = np.zeros((h, w), np.int8)
+    for r in range(h):
+        if r % 2 == 0:
+            fd[r, :] = 5
+            fd[r, -1] = 7
+        else:
+            fd[r, :] = 1
+            fd[r, 0] = 7
+    fd[h - 1, 0 if (h - 1) % 2 else w - 1] = 0
+    got, iters, done = pallas_scan.d8_accumulation_scan(
+        fd, return_info=True, max_rotations=256, **FOLD)
+    assert bool(done)
+    want = oracle.d8_accumulation(fd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    assert float(np.asarray(got).max()) == h * w
+
+
+@pytest.mark.parametrize("depth", [8])
+def test_mfd_scan_truncated_depth_exact(depth, monkeypatch):
+    """Fractional gates (Quinn) under a truncated scan: the chain-seed
+    argument holds for any downhill flow field, so the result must stay
+    oracle-exact."""
+    monkeypatch.setenv("RICHDEM_TPU_SCAN_DEPTH", str(depth))
+    from richdem_tpu.ops.flowdirs import flow_proportions
+    dem = synth.depression_dem(72, 96, seed=7, dtype=np.float32)
+    filled = oracle.priority_flood_epsilon(dem.astype(np.float64),
+                                           eps=1e-3)
+    props = flow_proportions(np.asarray(filled, np.float32),
+                             method="Quinn")
+    got, iters, done = pallas_scan.mfd_accumulation_scan(
+        props, return_info=True, max_rotations=256, **FOLD)
+    assert bool(done)
+    want = oracle.flow_accumulation_from_props(
+        np.asarray(props, np.float64))
+    np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("depth", [8])
+def test_dinf_scan_truncated_depth_exact(depth, monkeypatch):
+    """Truncated D∞: the seeded update regroups the f32 chain sums in a
+    different order than the full-width scan, so its equality fixpoint
+    sits a few hundred ulps from the f64 oracle (measured ≤3e-4 rel on
+    0.2% of cells) — a float-regroup artifact, not a topology error."""
+    monkeypatch.setenv("RICHDEM_TPU_SCAN_DEPTH", str(depth))
+    from richdem_tpu.ops.flowdirs import dinf_flowdirs
+    from richdem_tpu.ops.pallas_dinf import dinf_two_tap
+    dem = synth.depression_dem(64, 80, seed=11, dtype=np.float32)
+    filled = np.asarray(oracle.priority_flood_epsilon(
+        dem.astype(np.float64), eps=1e-3), np.float32)
+    ang = dinf_flowdirs(filled)
+    code, p = dinf_two_tap(ang)
+    got, iters, done = pallas_scan.dinf_accumulation_scan(
+        code, p, return_info=True, max_rotations=256, **FOLD)
+    assert bool(done)
+    from richdem_tpu.ops.pallas_dinf import two_tap_props
+    want = oracle.flow_accumulation_from_props(
+        np.asarray(two_tap_props(code, p), np.float64))
+    np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("depth", [1, 8])
+def test_scan_accum_truncated_depth_exact(depth, monkeypatch):
+    """Natural terrain has short in-row runs, so even tiny depths
+    converge quickly and exactly (depth=1 degenerates to a one-step
+    Jacobi in-row update)."""
+    monkeypatch.setenv("RICHDEM_TPU_SCAN_DEPTH", str(depth))
+    dem = synth.depression_dem(64, 72, seed=5, dtype=np.float32)
+    fd = _fd_of(dem)
+    got, iters, done = pallas_scan.d8_accumulation_scan(
+        fd, return_info=True, max_rotations=256, **FOLD)
+    assert bool(done)
+    want = oracle.d8_accumulation(fd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)

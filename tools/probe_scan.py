@@ -67,6 +67,30 @@ def main():
         print(f"dinf rot{rot} outputs allclose:", same, flush=True)
     del os.environ["RICHDEM_TPU_DINF_SCAN_ROT"]
 
+    # truncated scan depths: fewer doubling steps per sweep vs extra
+    # rotations (RICHDEM_TPU_SCAN_DEPTH; rot4 default for dinf)
+    for depth in ("64", "256", "1024"):
+        os.environ["RICHDEM_TPU_SCAN_DEPTH"] = depth
+        a3, it3, _ = PS.d8_accumulation_scan(fd, return_info=True,
+                                             max_rotations=512)
+        t3 = timeit(lambda: float(jnp.asarray(
+            PS.d8_accumulation_scan(fd, max_rotations=512)).sum()))
+        ok = np.allclose(np.asarray(acc_f), np.asarray(a3), rtol=1e-5)
+        print(f"scan d8 depth{depth}: {t3*1e3:.1f} ms rot={int(it3)} "
+              f"({(t3-sync)/int(it3)*1e3:.2f} ms/rot) allclose={ok}",
+              flush=True)
+        a4, it4, _ = PS.dinf_accumulation_scan(code, p,
+                                               return_info=True,
+                                               max_rotations=512)
+        t4 = timeit(lambda: float(jnp.asarray(
+            PS.dinf_accumulation_scan(code, p,
+                                      max_rotations=512)).sum()))
+        ok = np.allclose(np.asarray(a1), np.asarray(a4), rtol=1e-3)
+        print(f"scan dinf depth{depth}: {t4*1e3:.1f} ms rot={int(it4)} "
+              f"({(t4-sync)/int(it4)*1e3:.2f} ms/rot) allclose={ok}",
+              flush=True)
+    del os.environ["RICHDEM_TPU_SCAN_DEPTH"]
+
 
 
 def quinn(n):
@@ -95,6 +119,19 @@ def quinn(n):
     print("quinn allclose:",
           np.allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5),
           flush=True)
+    import os
+    for depth in ("64", "256", "1024"):
+        os.environ["RICHDEM_TPU_SCAN_DEPTH"] = depth
+        a3, it3, _ = PS.mfd_accumulation_scan(props, return_info=True,
+                                              max_rotations=512)
+        t3 = timeit(lambda: float(jnp.asarray(
+            PS.mfd_accumulation_scan(props,
+                                     max_rotations=512)).sum()), reps=2)
+        ok = np.allclose(np.asarray(a1), np.asarray(a3), rtol=1e-3)
+        print(f"scan quinn depth{depth}: {t3*1e3:.1f} ms "
+              f"rot={int(it3)} ({(t3-sync)/int(it3)*1e3:.2f} ms/rot) "
+              f"allclose={ok}", flush=True)
+    del os.environ["RICHDEM_TPU_SCAN_DEPTH"]
 
 
 if __name__ == "__main__":
