@@ -315,11 +315,13 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
     from richdem_tpu.ops.pallas_folded import _accum_engine
     if _accum_engine() == "scan":
         from richdem_tpu.ops.pallas_scan import (_dinf_scan_impl,
-                                                 _dinf_scan_rot)
+                                                 _dinf_scan_rot,
+                                                 _scan_depth)
         v = pack_two_tap(code, jnp.asarray(p, jnp.float32))
         acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
                                            fold_pad=fpad,
-                                           rot4=_dinf_scan_rot() == 4)
+                                           rot4=_dinf_scan_rot() == 4,
+                                           depth=_scan_depth())
         _require_converged(done, "D-infinity scan accumulation",
                            max_rotations)
         if no_data_mask is not None:

@@ -258,10 +258,12 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
         # dwarfs the ~1.7x per-sweep scan cost.
         eng = engine if engine is not None else _accum_engine(auto="scan")
         if eng == "scan":
-            from richdem_tpu.ops.pallas_scan import _mfd_scan_impl
+            from richdem_tpu.ops.pallas_scan import (_mfd_scan_impl,
+                                                     _scan_depth)
             acc, iters, done = _mfd_scan_impl(props8, weights,
                                               max_rotations,
-                                              fold_pad=fpad)
+                                              fold_pad=fpad,
+                                              depth=_scan_depth())
         else:
             acc, iters, done = _mfd_gs_impl(props8, weights,
                                             max_rotations, fold_pad=fpad)
