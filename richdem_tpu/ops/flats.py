@@ -136,9 +136,10 @@ def _flats_engine():
 _FLATS_DEFAULT = "folded"
 
 
-@partial(jax.jit, static_argnames=("max_iters", "engine", "fold_pad"))
+@partial(jax.jit, static_argnames=("max_iters", "engine", "fold_pad",
+                                   "scan_depth"))
 def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
-                         fold_pad=None):
+                         fold_pad=None, scan_depth=0):
     """TPU variant: the BFS fixpoints run as Pallas masked-distance
     sweeps (``ops.pallas_sweeps.dist_fixpoint_pallas``); seed/combine
     logic stays XLA.  Same ``(resolved, mask)`` as :func:`_resolve_impl`.
@@ -175,9 +176,13 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
 
         def dist_fixpoint(w0, _ctx, mode, step, max_iters,
                           return_info=False):
+            # scan_depth is threaded as a STATIC arg (not read from the
+            # env here) because this runs at trace time under jit and
+            # the cache key must include it
             return dist_fixpoint_scan(w0, zed, state, mode, step,
                                       max_iters, fold_pad=fold_pad,
-                                      return_info=return_info)
+                                      return_info=return_info,
+                                      depth=scan_depth)
 
         ctx = None
     else:
@@ -230,7 +235,13 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
 
 def _impl():
     if jax.default_backend() == "tpu":
-        return partial(_resolve_impl_pallas, engine=_flats_engine())
+        eng = _flats_engine()
+        depth = 0
+        if eng == "scan":
+            from richdem_tpu.ops.pallas_scan import _scan_depth
+            depth = _scan_depth()
+        return partial(_resolve_impl_pallas, engine=eng,
+                       scan_depth=depth)
     return _resolve_impl
 
 

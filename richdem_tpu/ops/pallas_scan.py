@@ -123,13 +123,17 @@ def _affine_scan(gate, base, reverse, ctx=None, seed=None, depth=0):
     if ctx is None:
         ctx = _iota_ctx(gate.shape)
     shift = _shift_rev if reverse else _shift_fwd
+    seeding = seed is not None and lim < w
     a, b = gate, base
     d = 1
     while d < lim:
         b = a * shift(b, d, 0.0, ctx) + b
-        a = a * shift(a, d, 1.0, ctx)
+        if d * 2 < lim or seeding:
+            # the last step's gate product is dead unless a seed
+            # closes the window afterwards
+            a = a * shift(a, d, 1.0, ctx)
         d *= 2
-    if d < w and seed is not None:
+    if seeding:
         b = b + a * shift(seed, d, 0.0, ctx)
     return b
 
@@ -684,7 +688,7 @@ def d8_accumulation_scan(flowdirs, weights=None, no_data_mask=None,
 # fixpoint, so sweeps are idempotent exactly at convergence (see
 # pallas_folded._fill_kernel).
 
-def _clamp_scan(lo, hi, jeh, reverse, ctx):
+def _clamp_scan(lo, hi, jeh, reverse, ctx, seed=None, depth=0):
     """F[j] for the directional pass — lo/hi are the per-cell clip maps
     (floor, B); returns the composed lower clamp applied to a −BIG
     (off-grid drain) origin.
@@ -697,26 +701,40 @@ def _clamp_scan(lo, hi, jeh, reverse, ctx):
     sweep, so at the analytic fixpoint it returns values an ulp below the
     stored state and the monotone iteration creeps for hundreds of
     rotations (measured on the walled-serpentine pit); the tilted chain
-    is selection-valued, hence bit-stable under recomputation."""
+    is selection-valued, hence bit-stable under recomputation.
+
+    ``depth``/``seed`` (RICHDEM_TPU_SCAN_DEPTH): truncate the window and
+    apply the composed clip to the OLD row value at distance d instead
+    of the −BIG origin — exact at the fixpoint (the sequential chain
+    composed d steps IS the window map applied to w*[j∓d]); chains
+    longer than the depth settle over extra rotations."""
     f, L = lo.shape
     w = f * L
+    lim = w if depth <= 0 else min(1 << max(0, (depth - 1)).bit_length(),
+                                   w)
     shift = _shift_rev if reverse else _shift_fwd
     neg = jnp.float32(-BIG)
     pos = jnp.float32(BIG)
     t = -jeh if reverse else jeh
+    seeding = seed is not None and lim < w
     lo = lo - t
     hi = hi - t
     d = 1
-    while d < w:
+    while d < lim:
         lo2 = jnp.clip(shift(lo, d, neg, ctx), lo, hi)
-        hi2 = jnp.clip(shift(hi, d, pos, ctx), lo, hi)
-        lo, hi = lo2, hi2
+        if d * 2 < lim or seeding:
+            # the upper clamp of the last step is dead unless a seed
+            # is clipped through the composed window afterwards
+            hi = jnp.clip(shift(hi, d, pos, ctx), lo, hi)
+        lo = lo2
         d *= 2
+    if seeding:
+        return jnp.clip(shift(seed - t, d, neg, ctx), lo, hi) + t
     return lo + t
 
 
 def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
-                      flag_ref, carry, *, bh, f, reverse):
+                      flag_ref, carry, *, bh, f, reverse, depth=0):
     """One scan-GS fill sweep + in-kernel change flag (same convergence
     contract as pallas_folded._fill_kernel).
 
@@ -760,8 +778,11 @@ def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
                          + eps_d)
 
         b = jnp.minimum(wr, jnp.maximum(fr, vc))
-        lat = jnp.minimum(_clamp_scan(fr, b, jeh, False, ctx),
-                          _clamp_scan(fr, b, jeh, True, ctx))
+        seed = wr if depth else None
+        lat = jnp.minimum(_clamp_scan(fr, b, jeh, False, ctx,
+                                      seed=seed, depth=depth),
+                          _clamp_scan(fr, b, jeh, True, ctx,
+                                      seed=seed, depth=depth))
         # Accept a lateral-chain value only when it beats the no-lateral
         # candidate by more than the tilt arithmetic's own noise floor
         # (~ulp(|b| + t_max) per ±t round trip).  Without the guard, an
@@ -787,7 +808,7 @@ def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
         flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
-def _fill_scan_sweep(w, floor, eps2, f, reverse):
+def _fill_scan_sweep(w, floor, eps2, f, reverse, depth=0):
     from richdem_tpu.ops.pallas_folded import _strip_maps
 
     hf, L = w.shape
@@ -810,7 +831,8 @@ def _fill_scan_sweep(w, floor, eps2, f, reverse):
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
     )
     out, flag = pl.pallas_call(
-        functools.partial(_fill_scan_kernel, bh=bh, f=f, reverse=reverse),
+        functools.partial(_fill_scan_kernel, bh=bh, f=f, reverse=reverse,
+                          depth=depth),
         out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
                    jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid_spec=grid_spec,
@@ -819,9 +841,9 @@ def _fill_scan_sweep(w, floor, eps2, f, reverse):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "check_every",
-                                             "fold_pad"))
+                                             "fold_pad", "depth"))
 def _fill_scan_impl(z32, nodata_mask, w0, eps2, *, max_iters,
-                    check_every, fold_pad):
+                    check_every, fold_pad, depth=0):
     h, wd = z32.shape
     neg = jnp.float32(-BIG)
     floor = jnp.where(nodata_mask, neg, z32)
@@ -832,8 +854,10 @@ def _fill_scan_impl(z32, nodata_mask, w0, eps2, *, max_iters,
     wv = _fold(_pad_to(w0, -BIG, mh=fold_pad, mw=fold_pad), f)
 
     def rotation(wv):
-        wv, c1 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=False)
-        wv, c2 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=True)
+        wv, c1 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=False,
+                                  depth=depth)
+        wv, c2 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=True,
+                                  depth=depth)
         return wv, c1 + c2
 
     def cond(state):
@@ -899,7 +923,7 @@ def fill_fixpoint_scan(z, nodata_mask=None, eps=0.0, eps_diag=None,
     eps2 = jnp.stack([eps, eps_d])
     return _fill_scan_impl(z32, nodata_mask, w0, eps2,
                            max_iters=max_iters, check_every=check_every,
-                           fold_pad=fpad)
+                           fold_pad=fpad, depth=_scan_depth())
 
 
 # ---------------------------------------------------------------------------
@@ -921,25 +945,36 @@ def fill_fixpoint_scan(z, nodata_mask=None, eps=0.0, eps_diag=None,
 # working raster in ops/pallas_sweeps.dist_fixpoint_pallas), full VPU
 # sublane utilization included.
 
-def _tropical_scan(a, b, reverse, ctx):
+def _tropical_scan(a, b, reverse, ctx, seed=None, depth=0):
     """Solve new[j] = min(b[j], a[j] + new[j∓1]) exactly (row-local);
     out-of-row prefix is the identity map (a = 0, b = +∞) and the
-    origin x₀ = +∞, so the result is the composed b."""
+    origin x₀ = +∞, so the result is the composed b.
+
+    ``depth``/``seed``: truncated window closed with the OLD row values
+    (min-plus composition applied to w*[j∓d] reproduces the fixpoint
+    exactly; longer chains cost extra rotations)."""
     f, L = a.shape
     w = f * L
+    lim = w if depth <= 0 else min(1 << max(0, (depth - 1)).bit_length(),
+                                   w)
     shift = _shift_rev if reverse else _shift_fwd
     big = jnp.float32(BIG)
     zero = jnp.float32(0.0)
+    seeding = seed is not None and lim < w
     d = 1
-    while d < w:
+    while d < lim:
         b = jnp.minimum(b, shift(b, d, big, ctx) + a)
-        a = shift(a, d, zero, ctx) + a
+        if d * 2 < lim or seeding:
+            a = shift(a, d, zero, ctx) + a
         d *= 2
+    if seeding:
+        b = jnp.minimum(b, shift(seed, d, big, ctx) + a)
     return b
 
 
 def _dist_scan_kernel(w_ref, z_ref, s_ref, out_ref, flag_ref,
-                      c_w, c_z, c_s, *, bh, f, reverse, mode, step):
+                      c_w, c_z, c_s, *, bh, f, reverse, mode, step,
+                      depth=0):
     """One scan-GS masked-distance sweep + in-kernel change flag (same
     admissibility predicates as pallas_sweeps._dist_down_kernel)."""
     from richdem_tpu.ops.pallas_sweeps import _allowed
@@ -989,8 +1024,11 @@ def _dist_scan_kernel(w_ref, z_ref, s_ref, out_ref, flag_ref,
         aW = jnp.where(_allowed(mode, z, _shift_rev(z, 1, zbig, ctx), s,
                                 _shift_rev(s, 1, jnp.int32(0), ctx)),
                        stepf, big)
-        new = jnp.minimum(_tropical_scan(aE, b, reverse=False, ctx=ctx),
-                          _tropical_scan(aW, b, reverse=True, ctx=ctx))
+        seed = wr if depth else None
+        new = jnp.minimum(_tropical_scan(aE, b, reverse=False, ctx=ctx,
+                                         seed=seed, depth=depth),
+                          _tropical_scan(aW, b, reverse=True, ctx=ctx,
+                                         seed=seed, depth=depth))
         out_ref[sl] = new
         return new, z, s, diff | (new != wr).astype(jnp.int32)
 
@@ -1008,7 +1046,7 @@ def _dist_scan_kernel(w_ref, z_ref, s_ref, out_ref, flag_ref,
         flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
-def _dist_scan_sweep(w, z, s, f, reverse, mode, step):
+def _dist_scan_sweep(w, z, s, f, reverse, mode, step, depth=0):
     hf, L = w.shape
     h = hf // f
     bh = _fold_strip_height(h, L * f, n_bufs=4)
@@ -1023,7 +1061,7 @@ def _dist_scan_sweep(w, z, s, f, reverse, mode, step):
                             memory_space=pltpu.VMEM)
     out, flag = pl.pallas_call(
         functools.partial(_dist_scan_kernel, bh=bh, f=f, reverse=reverse,
-                          mode=mode, step=step),
+                          mode=mode, step=step, depth=depth),
         out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
                    jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid=(n,),
@@ -1037,8 +1075,9 @@ def _dist_scan_sweep(w, z, s, f, reverse, mode, step):
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "step", "max_iters",
-                                             "fold_pad"))
-def _dist_scan_impl(w0, zed, state, mode, step, max_iters, fold_pad):
+                                             "fold_pad", "depth"))
+def _dist_scan_impl(w0, zed, state, mode, step, max_iters, fold_pad,
+                    depth=0):
     h, wd = w0.shape
     f = _F
     w_v = _fold(_pad_to(jnp.asarray(w0, jnp.float32), BIG,
@@ -1055,9 +1094,9 @@ def _dist_scan_impl(w0, zed, state, mode, step, max_iters, fold_pad):
     def body(st):
         w, it, _ = st
         w, c1 = _dist_scan_sweep(w, z_v, s_v, f, reverse=False,
-                                 mode=mode, step=step)
+                                 mode=mode, step=step, depth=depth)
         w, c2 = _dist_scan_sweep(w, z_v, s_v, f, reverse=True,
-                                 mode=mode, step=step)
+                                 mode=mode, step=step, depth=depth)
         return w, it + 1, (c1 + c2) == 0
 
     done0 = jnp.any(w_v != w_v)
@@ -1067,14 +1106,16 @@ def _dist_scan_impl(w0, zed, state, mode, step, max_iters, fold_pad):
 
 
 def dist_fixpoint_scan(w0, zed, state, mode, step=1.0, max_iters=256,
-                       fold_pad=None, return_info=False):
+                       fold_pad=None, return_info=False, depth=None):
     """Scan-GS masked-distance fixpoint — same contract as
     ``pallas_sweeps.dist_fixpoint_pallas`` but takes the raw
     (elevation, state-flag) rasters instead of a precomputed shifted/
     transposed context (the scan kernels shift in-kernel)."""
     fpad = _FOLD_PAD if fold_pad is None else fold_pad
+    if depth is None:
+        depth = _scan_depth()
     w, iters, done = _dist_scan_impl(w0, zed, state, mode, float(step),
-                                     max_iters, fpad)
+                                     max_iters, fpad, depth=depth)
     if return_info:
         return w, iters, done
     return w

@@ -385,3 +385,53 @@ def test_scan_accum_truncated_depth_exact(depth, monkeypatch):
     assert bool(done)
     want = oracle.d8_accumulation(fd)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("depth", [16])
+def test_fill_scan_truncated_depth_exact(depth, monkeypatch):
+    """Truncated clamp scans (old-value window seeds): the serpentine
+    pit's full-width lateral chains resolve over extra rotations and
+    the fill still lands on the float64-oracle surface."""
+    monkeypatch.setenv("RICHDEM_TPU_SCAN_DEPTH", str(depth))
+    n = 64
+    dem = serpentine_pit(n)
+    want = np.asarray(oracle.priority_flood_epsilon(
+        dem.astype(np.float64), eps=1e-3))
+    got, iters, done = pallas_scan.fill_fixpoint_scan(
+        dem, eps=1e-3, multiscale=False, max_iters=256, **FOLD)
+    assert bool(done)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-2)
+    # natural terrain too (nodata drains)
+    dem2 = synth.with_nodata_holes(
+        synth.depression_dem(96, 128, seed=42, dtype=np.float64),
+        no_data=-9999.0)
+    nd = dem2 == -9999.0
+    want2 = np.asarray(oracle.priority_flood_fill(dem2, no_data=-9999.0))
+    got2, _, done2 = pallas_scan.fill_fixpoint_scan(
+        np.asarray(dem2, np.float32), nodata_mask=nd, multiscale=False,
+        max_iters=256, **FOLD)
+    assert bool(done2)
+    np.testing.assert_allclose(np.asarray(got2)[~nd], want2[~nd],
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("depth", [16])
+def test_dist_scan_truncated_depth_exact(depth, monkeypatch):
+    """Truncated tropical scans on the flat-resolution distance
+    fixpoints: min-plus window seeds are exactly consistent at the
+    fixpoint, so the masked distances must equal the full-scan ones."""
+    import jax.numpy as jnp
+    from richdem_tpu.ops import flats as F
+    monkeypatch.setenv("RICHDEM_TPU_SCAN_DEPTH", str(depth))
+    dem = synth.plateau_dem(72, dtype=np.float64)
+    fd = oracle.d8_flowdirs(dem)
+    want_fd = oracle.resolve_flats(dem, fd)
+    nd = jnp.zeros(dem.shape, bool)
+    got_fd, got_mask, _, _ = F._resolve_impl_pallas(
+        jnp.asarray(dem), jnp.asarray(fd), nd, 256,
+        engine="scan", fold_pad=64)
+    np.testing.assert_array_equal(np.asarray(got_fd), want_fd)
+    exact_fd, exact_mask, _, _ = F._resolve_impl(
+        jnp.asarray(dem), jnp.asarray(fd), nd, 256)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  np.asarray(exact_mask))

@@ -82,6 +82,29 @@ def main():
               f"{n*n/total/1e6:.0f} Mcells/s "
               f"({n*n/total/5.5e6:.1f}x pinned baseline)", flush=True)
 
+    # truncated scan depths for the scan fill + scan flats
+    for depth in ("64", "256", "1024"):
+        os.environ["RICHDEM_TPU_SCAN_DEPTH"] = depth
+        fsd, fitd, fdoned = fill_fixpoint_scan(z, eps=eps_v,
+                                               max_iters=512)
+        tfd = timeit(lambda: float(jnp.asarray(
+            fill_fixpoint_scan(z, eps=eps_v, max_iters=512)[0]).sum()))
+        ok = bool(jnp.allclose(fsd, filled, rtol=1e-5, atol=1e-3))
+        print(f"eps-fill scan depth{depth}: {tfd*1e3:.1f} ms "
+              f"rot={int(fitd)} "
+              f"({(tfd-sync)/max(int(fitd),1)*1e3:.2f} ms/rot) "
+              f"allclose={ok} converged={bool(fdoned)}", flush=True)
+        os.environ["RICHDEM_TPU_FLATS_ENGINE"] = "scan"
+        resd, sitd, sdoned = resolve_flats(filled, fd, return_info=True)
+        trd = timeit(lambda: float(jnp.asarray(
+            resolve_flats(filled, fd), jnp.int32).sum()))
+        same = bool(jnp.all(resd == trs["folded"][1]))
+        print(f"resolve_flats scan depth{depth}: {trd*1e3:.1f} ms "
+              f"rotations={int(sitd)} bitwise={same} "
+              f"converged={bool(sdoned)}", flush=True)
+        del os.environ["RICHDEM_TPU_FLATS_ENGINE"]
+    del os.environ["RICHDEM_TPU_SCAN_DEPTH"]
+
 
 if __name__ == "__main__":
     main()
