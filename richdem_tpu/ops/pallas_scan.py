@@ -66,6 +66,16 @@ def _iota_ctx(shape):
     return lane, sub * L + lane
 
 
+def _win_lim(depth, w, seed):
+    """(lim, seeding) for a truncated scan window: the power-of-two
+    doubling limit and whether an old-value seed closes the window.
+    Shared by the affine/clamp/tropical scans so the rounding stays in
+    lockstep across engines."""
+    lim = w if depth <= 0 else min(1 << max(0, (depth - 1)).bit_length(),
+                                   w)
+    return lim, seed is not None and lim < w
+
+
 def _shift_fwd(x, k, fill, ctx=None):
     """Flattened row-major shift: out[flat j] = x[j-k] over the (f, L)
     group, ``fill`` for j < k.  k static, 1 ≤ k < f·L."""
@@ -118,12 +128,10 @@ def _affine_scan(gate, base, reverse, ctx=None, seed=None, depth=0):
     scan steps per sweep against extra rotations for chains > d."""
     f, L = gate.shape
     w = f * L
-    lim = w if depth <= 0 else min(1 << max(0, (depth - 1)).bit_length(),
-                                   w)
+    lim, seeding = _win_lim(depth, w, seed)
     if ctx is None:
         ctx = _iota_ctx(gate.shape)
     shift = _shift_rev if reverse else _shift_fwd
-    seeding = seed is not None and lim < w
     a, b = gate, base
     d = 1
     while d < lim:
@@ -710,13 +718,11 @@ def _clamp_scan(lo, hi, jeh, reverse, ctx, seed=None, depth=0):
     longer than the depth settle over extra rotations."""
     f, L = lo.shape
     w = f * L
-    lim = w if depth <= 0 else min(1 << max(0, (depth - 1)).bit_length(),
-                                   w)
+    lim, seeding = _win_lim(depth, w, seed)
     shift = _shift_rev if reverse else _shift_fwd
     neg = jnp.float32(-BIG)
     pos = jnp.float32(BIG)
     t = -jeh if reverse else jeh
-    seeding = seed is not None and lim < w
     lo = lo - t
     hi = hi - t
     d = 1
@@ -746,7 +752,11 @@ def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
     rotations to settle (measured on the walled-serpentine pit: 27 vs 2).
     Without them every sweep output is a deterministic expression of
     already-settled rows only, so cells settle in spill-tree order
-    exactly as in the folded kernel.  Coverage per rotation is still all
+    exactly as in the folded kernel.  (That invariant holds at the
+    default depth=0: a truncated run seeds the clamp scans with the
+    row's OWN old values, reintroducing exactly this dependence — the
+    acceptance guard below is what keeps the eps>0 churn bounded
+    there.)  Coverage per rotation is still all
     8 neighbors: forward = row above NEW + both in-row; reverse = row
     below NEW + both in-row."""
     i = pl.program_id(0)
@@ -955,12 +965,10 @@ def _tropical_scan(a, b, reverse, ctx, seed=None, depth=0):
     exactly; longer chains cost extra rotations)."""
     f, L = a.shape
     w = f * L
-    lim = w if depth <= 0 else min(1 << max(0, (depth - 1)).bit_length(),
-                                   w)
+    lim, seeding = _win_lim(depth, w, seed)
     shift = _shift_rev if reverse else _shift_fwd
     big = jnp.float32(BIG)
     zero = jnp.float32(0.0)
-    seeding = seed is not None and lim < w
     d = 1
     while d < lim:
         b = jnp.minimum(b, shift(b, d, big, ctx) + a)

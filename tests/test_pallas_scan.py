@@ -429,7 +429,7 @@ def test_dist_scan_truncated_depth_exact(depth, monkeypatch):
     nd = jnp.zeros(dem.shape, bool)
     got_fd, got_mask, _, _ = F._resolve_impl_pallas(
         jnp.asarray(dem), jnp.asarray(fd), nd, 256,
-        engine="scan", fold_pad=64)
+        engine="scan", fold_pad=64, scan_depth=depth)
     np.testing.assert_array_equal(np.asarray(got_fd), want_fd)
     exact_fd, exact_mask, _, _ = F._resolve_impl(
         jnp.asarray(dem), jnp.asarray(fd), nd, 256)
