@@ -20,7 +20,11 @@ reported separately as ``sync_floor_s`` — tunnel overhead, not kernel time).
 
 Env knobs: BENCH_SIZE (grid edge, default 8192 on TPU / 1024 on CPU),
 BENCH_REPS (default 5), BENCH_TERRAIN (perlin|cone|depressions),
-BENCH_CONFIG (pipeline|fill_flats|dinf_twi|quinn_mfd), BENCH_HBM_GBPS.
+BENCH_CONFIG (pipeline|fill_flats|dinf_twi|quinn_mfd), BENCH_HBM_GBPS,
+BENCH_BATCH (default 1: steps dispatched per timing fence — >1 reports
+steady-state throughput with the fixed ~27 ms tunnel sync amortized, the
+serving posture where tiles stream back-to-back; the default stays the
+conservative single-shot figure).
 """
 
 import json
@@ -174,6 +178,7 @@ def main():
     default_size = 8192 if platform != "cpu" else 1024
     size = int(os.environ.get("BENCH_SIZE", default_size))
     reps = int(os.environ.get("BENCH_REPS", 5))
+    batch = max(1, int(os.environ.get("BENCH_BATCH", 1)))
     terrain = os.environ.get("BENCH_TERRAIN", "perlin")
     hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", HBM_GBPS_DEFAULT))
 
@@ -208,8 +213,14 @@ def main():
         from richdem_tpu.ops.fill import fill_depressions_info
         return fill_depressions_info(zz, eps=eps_v, max_iters=256)
 
+    # dispatch() queues one step WITHOUT a host fence (BENCH_BATCH > 1:
+    # executions serialize in dispatch order on the chip, so fencing the
+    # final step fences them all); run_once() dispatches + fences.
     if config == "pipeline":
         step = make_pipeline(z.shape, eps=eps, fill_iters=256)
+
+        def dispatch():
+            step(z)
 
         def run_once():
             out = step(z)
@@ -243,6 +254,9 @@ def main():
                                                 return_info=True)
             return resolved, fi, si, fdone & sdone
 
+        def dispatch():
+            step(z)
+
         def run_once():
             return float((step(z)[0] != 0).sum())
 
@@ -270,6 +284,9 @@ def main():
             slope = terrain_attribute(filled, "slope_radians")
             return twi(acc, slope), fi, ai, fdone & adone
 
+        def dispatch():
+            step(z)
+
         def run_once():
             return abs(float(step(z)[0][::64, ::64].sum()))
 
@@ -293,6 +310,9 @@ def main():
                 props, return_info=True)
             return acc, fi, ai, fdone & adone
 
+        def dispatch():
+            step(z)
+
         def run_once():
             return float(step(z)[0][::64, ::64].sum())
 
@@ -313,8 +333,10 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
+        for _ in range(batch - 1):
+            dispatch()
         run_once()
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / batch)
     best = min(times)
     cells_per_s = size * size / best
 
@@ -330,7 +352,9 @@ def main():
     }
     if on_tpu:
         sync = measure_sync_floor(jax)
-        dev_t = max(best - sync, 1e-9)
+        dev_t = max(best - sync / batch, 1e-9)
+        if batch > 1:
+            result["batch"] = batch
         nbytes = bytes_model()
         result.update(
             sync_floor_s=round(sync, 4),

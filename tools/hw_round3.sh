@@ -34,4 +34,9 @@ BENCH_CONFIG=dinf_twi  BENCH_SIZE=8192 run bench_c4_8192 python bench.py
 BENCH_CONFIG=pipeline  BENCH_SIZE=8192 run bench_c3_8192 python bench.py
 BENCH_CONFIG=pipeline  BENCH_SIZE=10240 run bench_c3_10240 python bench.py
 
+# 4. Steady-state (tunnel sync amortized over 8 back-to-back steps)
+BENCH_CONFIG=fill_flats BENCH_SIZE=4096 BENCH_BATCH=8 run bench_c2_4096_ss python bench.py
+BENCH_CONFIG=dinf_twi  BENCH_SIZE=4096 BENCH_BATCH=8 run bench_c4_4096_ss python bench.py
+BENCH_CONFIG=pipeline  BENCH_SIZE=8192 BENCH_BATCH=8 run bench_c3_8192_ss python bench.py
+
 echo "ALL DONE $(date)" | tee -a "$L/driver.log"
