@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["cone_dem", "saddle_dem", "plateau_dem", "depression_dem",
-           "perlin_dem"]
+           "perlin_dem", "perlin_dem_rows"]
 
 
 def _coords(height, width, dtype=jnp.float32):
@@ -92,12 +92,28 @@ def perlin_dem(height: int, width: int = None, seed: int = 0,
                amplitude: float = 100.0):
     """Multi-octave smoothstep value noise, entirely on device."""
     width = height if width is None else width
+    return perlin_dem_rows(height, width, 0, height, seed=seed,
+                           octaves=octaves, base_period=base_period,
+                           amplitude=amplitude)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "row0", "nrows",
+                                   "octaves", "base_period"))
+def perlin_dem_rows(height: int, width: int, row0: int, nrows: int,
+                    seed: int = 0, octaves: int = 5,
+                    base_period: int = None, amplitude: float = 100.0):
+    """Rows ``[row0, row0+nrows)`` of ``perlin_dem(height, width, ...)``,
+    bit-identical to slicing the full field: the per-octave lattices are
+    seeded and shaped from the GLOBAL dims and every per-cell op is
+    elementwise over globally-offset coordinates.  This is how anything
+    larger than HBM must be staged (a full 16384² call OOMs on temps)."""
     base_period = (max(height, width) // 4 if base_period is None
                    else base_period)
     base_period = max(base_period, 2)
     key = jax.random.PRNGKey(seed)
-    y, x = _coords(height, width)
-    z = jnp.zeros((height, width), jnp.float32)
+    y, x = _coords(nrows, width)
+    y = y + jnp.float32(row0)
+    z = jnp.zeros((nrows, width), jnp.float32)
     amp, total_amp = 1.0, 0.0
     for octave in range(octaves):
         key, sub = jax.random.split(key)

@@ -33,10 +33,11 @@ def main():
         mm = np.lib.format.open_memmap(dem_path, mode="w+",
                                        dtype=np.float32,
                                        shape=(size, size))
-        # generate + download strip-wise to bound host memory
+        # generate + download strip-wise: bounds host memory AND device
+        # temps (a full 16384^2 perlin_dem call OOMs on gather temps)
         strip = 4096
         for r0 in range(0, size, strip):
-            zs = synth_jax.perlin_dem(size, seed=3)[r0:r0 + strip]
+            zs = synth_jax.perlin_dem_rows(size, size, r0, strip, seed=3)
             mm[r0:r0 + strip] = np.asarray(zs)
         mm.flush()
         print(f"staged in {time.perf_counter() - t0:.0f}s", flush=True)
