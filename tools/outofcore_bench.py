@@ -30,7 +30,10 @@ def main():
     if not os.path.exists(dem_path):
         print("staging DEM to disk ...", flush=True)
         t0 = time.perf_counter()
-        mm = np.lib.format.open_memmap(dem_path, mode="w+",
+        # stage to .tmp + rename so a crash mid-staging can't leave a
+        # partial file that a rerun would mistake for the real DEM
+        tmp_path = dem_path + ".tmp"
+        mm = np.lib.format.open_memmap(tmp_path, mode="w+",
                                        dtype=np.float32,
                                        shape=(size, size))
         # generate + download strip-wise: bounds host memory AND device
@@ -40,6 +43,8 @@ def main():
             zs = synth_jax.perlin_dem_rows(size, size, r0, strip, seed=3)
             mm[r0:r0 + strip] = np.asarray(zs)
         mm.flush()
+        del mm
+        os.replace(tmp_path, dem_path)
         print(f"staged in {time.perf_counter() - t0:.0f}s", flush=True)
 
     results = {}
