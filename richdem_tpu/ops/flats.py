@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from richdem_tpu.ops.stencil import neighbor, nodata_like
 from richdem_tpu.ops.sweeps import BIG, minplus_fixpoint
@@ -131,9 +132,11 @@ def _flats_engine():
     return os.environ.get("RICHDEM_TPU_FLATS_ENGINE", _FLATS_DEFAULT)
 
 
-#: flipped to "scan" once the scan distance kernels' hardware gates +
-#: timings land (tests/test_tpu_only.py; tools/probe_flats.py)
-_FLATS_DEFAULT = "folded"
+#: "scan" per the round-3 hardware session: the tropical-scan engine
+#: resolves the three distance fixpoints in 80 ms vs 108 ms folded at
+#: 4096² (tools/hw_r3_logs/probe_flats_4096.log), bitwise equal, and
+#: its exact gates pass on hardware (tests/test_tpu_only.py).
+_FLATS_DEFAULT = "scan"
 
 
 @partial(jax.jit, static_argnames=("max_iters", "engine", "fold_pad",
@@ -165,9 +168,19 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
     noflow = (fd == NO_FLOW) & data
     zed = jnp.where(nodata_mask, zbig, zf)
 
-    z_nb = [neighbor(zed, d, jnp.nan) for d in range(1, 9)]
-    z_eq = jnp.stack([(zed == zb) & (zb < zbig) for zb in z_nb])
-    in_flat = data & (noflow | jnp.any(z_eq, axis=0))
+    # Incremental reductions over the 8 directions: the stacked
+    # (8, H, W) z_eq/nb_higher/slopes temporaries cost ~0.5 GB each at
+    # 4096² and XLA materializes them around the argmax; one shift at a
+    # time keeps everything fused elementwise (bitwise-identical
+    # results — strict-> updates reproduce argmax's first-max
+    # tie-break).
+    any_eq = jnp.zeros(zed.shape, bool)
+    any_higher = jnp.zeros(zed.shape, bool)
+    for d in range(1, 9):
+        zb = neighbor(zed, d, jnp.nan)
+        any_eq |= (zed == zb) & (zb < zbig)
+        any_higher |= (zb > zed) & (zb < zbig)
+    in_flat = data & (noflow | any_eq)
 
     state = (data * _F_DATA + noflow * _F_NOFLOW
              + in_flat * _F_INFLAT).astype(jnp.int32)
@@ -189,18 +202,16 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
         dist_fixpoint = dist_fixpoint_pallas
         ctx = _dist_context(zed, state)
 
-    def nb_mask(m):
-        return jnp.stack([neighbor(m, d, False) for d in range(1, 9)])
-
     h, w = z.shape
     rows = jnp.arange(h)[:, None]
     cols = jnp.arange(w)[None, :]
     on_border = (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
-    near_nodata = jnp.any(nb_mask(nodata_mask), axis=0)
+    near_nodata = jnp.zeros(zed.shape, bool)
+    for d in range(1, 9):
+        near_nodata |= neighbor(nodata_mask, d, False)
     drain = noflow & (on_border | near_nodata)
     outlet = in_flat & (~noflow | drain)
-    nb_higher = jnp.stack([(zb > zed) & (zb < zbig) for zb in z_nb])
-    high_seed = noflow & in_flat & jnp.any(nb_higher, axis=0)
+    high_seed = noflow & in_flat & any_higher
 
     T, i1, d1 = dist_fixpoint(jnp.where(outlet, 0.0, BIG), ctx,
                                      "towards", 1.0, max_iters,
@@ -218,15 +229,19 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
     drained = noflow & ~drain & in_flat & (T < _UNREACHED)
     mask = jnp.where(drained, 2.0 * T + away_term, 0.0)
 
-    nb_in_flat = nb_mask(in_flat)
-    inv_dr = jnp.asarray(1.0 / DR[1:9], mask.dtype)[:, None, None]
-    nb_mask_vals = jnp.stack(
-        [neighbor(mask, d, BIG) for d in range(1, 9)])
-    slopes = jnp.where(z_eq & nb_in_flat,
-                       (mask[None] - nb_mask_vals) * inv_dr, -BIG)
-    k = jnp.argmax(slopes, axis=0)
-    best = jnp.max(slopes, axis=0)
-    new_dir = jnp.where(best > 0, (k + 1).astype(fd.dtype),
+    inv_dr = 1.0 / np.asarray(DR)
+    best = jnp.full(mask.shape, -BIG, mask.dtype)
+    kbest = jnp.zeros(mask.shape, jnp.int32)
+    for d in range(1, 9):
+        zb = neighbor(zed, d, jnp.nan)
+        eq = (zed == zb) & (zb < zbig)
+        slope = jnp.where(eq & neighbor(in_flat, d, False),
+                          (mask - neighbor(mask, d, BIG))
+                          * mask.dtype.type(inv_dr[d]), -BIG)
+        upd = slope > best
+        best = jnp.where(upd, slope, best)
+        kbest = jnp.where(upd, d, kbest)
+    new_dir = jnp.where(best > 0, kbest.astype(fd.dtype),
                         jnp.asarray(NO_FLOW, fd.dtype))
     resolved = jnp.where(drained & (fd == NO_FLOW), new_dir, fd)
     info = (i1 + i2 + i3, d1 & d2 & d3)
