@@ -25,7 +25,9 @@ import numpy as np
 
 __all__ = ["available", "fill", "fill_flowdirs", "fill_watersheds",
            "fill_tile", "d8_flowdirs", "accum_d8", "accum_props",
-           "breach_depressions", "resolve_flats", "flat_mask_and_labels"]
+           "breach_depressions", "resolve_flats", "flat_mask_and_labels",
+           "dinf_flowdirs", "dinf_props", "mfd_props", "slope_radians",
+           "twi"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "core.cpp")
@@ -36,7 +38,8 @@ _failed = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+           "-std=c++17", "-fPIC", "-shared",
            "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -83,6 +86,19 @@ def _load():
                                          ctypes.c_int, ctypes.c_void_p,
                                          ctypes.c_void_p]
         lib.rn_resolve_flats.restype = ctypes.c_int
+        lib.rn_dinf_flowdirs.argtypes = [p64, p64, i64, i64, f64,
+                                         ctypes.c_int, f64]
+        lib.rn_dinf_flowdirs.restype = ctypes.c_int
+        lib.rn_dinf_props.argtypes = [p64, p64, i64, i64]
+        lib.rn_dinf_props.restype = ctypes.c_int
+        lib.rn_mfd_props.argtypes = [p64, p64, i64, i64, f64,
+                                     ctypes.c_int, f64]
+        lib.rn_mfd_props.restype = ctypes.c_int
+        lib.rn_slope_radians.argtypes = [p64, p64, i64, i64, f64,
+                                         ctypes.c_int, f64, f64]
+        lib.rn_slope_radians.restype = ctypes.c_int
+        lib.rn_twi.argtypes = [p64, p64, p64, i64, f64, f64]
+        lib.rn_twi.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -286,3 +302,70 @@ def flat_mask_and_labels(dem, flowdirs, no_data=None):
     """(flat_mask, labels) int32 rasters; mirrors oracle."""
     _, mask, labels = _flats_impl(dem, flowdirs, no_data, want_mask=True)
     return mask, labels
+
+
+def dinf_flowdirs(dem, no_data=None, cellsize=1.0):
+    """Tarboton D∞ angles (radians CCW-from-East; -1 NO_FLOW, -2 nodata);
+    mirrors oracle.dinf_flowdirs."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    z = np.ascontiguousarray(dem, dtype=np.float64)
+    h, w = z.shape
+    ang = np.empty((h, w), np.float64)
+    nd, has_nd = _nodata_args(no_data)
+    lib.rn_dinf_flowdirs(z, ang, h, w, nd, has_nd, float(cellsize))
+    return ang
+
+
+def dinf_props(angles):
+    """(H, W, 8) proportions from D∞ angles; mirrors
+    oracle.proportions_from_dinf."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    ang = np.ascontiguousarray(angles, dtype=np.float64)
+    h, w = ang.shape
+    props = np.empty((h, w, 8), np.float64)
+    lib.rn_dinf_props(ang, props, h, w)
+    return props
+
+
+def mfd_props(dem, no_data=None, exponent=1.0):
+    """Generic multi-flow proportions (slope**exponent — Quinn at 1.0,
+    Freeman 1.1, Holmgren param); mirrors oracle._mfd_proportions."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    z = np.ascontiguousarray(dem, dtype=np.float64)
+    h, w = z.shape
+    props = np.empty((h, w, 8), np.float64)
+    nd, has_nd = _nodata_args(no_data)
+    lib.rn_mfd_props(z, props, h, w, nd, has_nd, float(exponent))
+    return props
+
+
+def slope_radians(dem, no_data=None, zscale=1.0, cellsize=1.0):
+    """Horn 1981 slope in radians; mirrors ops.terrain slope_radians."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    z = np.ascontiguousarray(dem, dtype=np.float64)
+    h, w = z.shape
+    out = np.empty((h, w), np.float64)
+    nd, has_nd = _nodata_args(no_data)
+    lib.rn_slope_radians(z, out, h, w, nd, has_nd, float(zscale),
+                         float(cellsize))
+    return out
+
+
+def twi(accum, slope, cellsize=1.0, min_slope=1e-6):
+    """ln(a / tan beta); mirrors methods.twi."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    acc = np.ascontiguousarray(accum, dtype=np.float64)
+    sl = np.ascontiguousarray(slope, dtype=np.float64)
+    out = np.empty(acc.shape, np.float64)
+    lib.rn_twi(acc, sl, out, acc.size, float(cellsize), float(min_slope))
+    return out

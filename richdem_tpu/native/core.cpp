@@ -649,3 +649,179 @@ int rn_resolve_flats(const double* z, int8_t* fd, int64_t h, int64_t w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Divergent flow metrics + terrain tail — the single-core counterparts of
+// the TPU pipeline configs (bench.py BENCH_CONFIG=dinf_twi / quinn_mfd), so
+// each config's vs_baseline divides by a baseline doing the SAME work.
+// Mirrors richdem_tpu/oracle/flowdirs.py (Tarboton 1997 facets, Quinn/
+// Holmgren slope^exponent proportions; reference flowmet/ semantics per
+// SURVEY.md §2.2, appendix A.4/A.5) and oracle/terrain.py (Horn 1981).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Tarboton facet table — (e1, e2, ac, af) with the facet's global angle
+// af*r + ac*pi/2, CCW from East.  MUST match oracle/flowdirs._DINF_FACETS.
+const int FACET_E1[8] = {5, 3, 3, 1, 1, 7, 7, 5};
+const int FACET_E2[8] = {4, 4, 2, 2, 8, 8, 6, 6};
+const int FACET_AC[8] = {0, 1, 1, 2, 2, 3, 3, 4};
+const int FACET_AF[8] = {1, -1, 1, -1, 1, -1, 1, -1};
+
+// D8 direction code at angle k*pi/4 (k = 0..7): E,NE,N,NW,W,SW,S,SE.
+const int OCTANT_DIRS[8] = {5, 4, 3, 2, 1, 8, 7, 6};
+
+}  // namespace
+
+extern "C" {
+
+// D-infinity flow angles, radians CCW-from-East; -1 = NO_FLOW, -2 = nodata.
+int rn_dinf_flowdirs(const double* z, double* ang, int64_t h, int64_t w,
+                     double no_data, int has_nodata, double cellsize) {
+  const double d1 = cellsize, d2 = cellsize;
+  const double rmax = std::atan2(d2, d1);
+  const double diag = std::hypot(d1, d2);
+  const double pi = 3.14159265358979323846;
+  for (int64_t r = 0; r < h; ++r) {
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (is_nodata(z[i], no_data, has_nodata)) {
+        ang[i] = -2.0;
+        continue;
+      }
+      const double z0 = z[i];
+      double best_s = 0.0, best_angle = -1.0;
+      bool have = false;
+      for (int f = 0; f < 8; ++f) {
+        const int e1 = FACET_E1[f], e2 = FACET_E2[f];
+        const int64_t r1 = r + DY[e1], c1 = c + DX[e1];
+        const int64_t r2 = r + DY[e2], c2 = c + DX[e2];
+        const bool ok1 = r1 >= 0 && r1 < h && c1 >= 0 && c1 < w &&
+                         !is_nodata(z[r1 * w + c1], no_data, has_nodata);
+        const bool ok2 = r2 >= 0 && r2 < h && c2 >= 0 && c2 < w &&
+                         !is_nodata(z[r2 * w + c2], no_data, has_nodata);
+        if (!ok1 && !ok2) continue;
+        const double z1 = ok1 ? z[r1 * w + c1] : z0;
+        const double z2 = ok2 ? z[r2 * w + c2] : z1;
+        const double s1 = (z0 - z1) / d1;
+        const double s2 = (z1 - z2) / d2;
+        double rr = (s1 != 0.0 || s2 != 0.0) ? std::atan2(s2, s1) : 0.0;
+        double ss;
+        if (rr < 0.0) {
+          rr = 0.0;
+          ss = s1;
+        } else if (rr > rmax) {
+          rr = rmax;
+          ss = (z0 - z2) / diag;
+        } else {
+          ss = std::hypot(s1, s2);
+        }
+        if (ss > best_s) {
+          best_s = ss;
+          best_angle = FACET_AF[f] * rr + FACET_AC[f] * (pi / 2.0);
+          have = true;
+        }
+      }
+      if (have) {
+        double a = std::fmod(best_angle, 2.0 * pi);
+        if (a < 0.0) a += 2.0 * pi;
+        ang[i] = a;
+      } else {
+        ang[i] = -1.0;
+      }
+    }
+  }
+  return 0;
+}
+
+// (h, w, 8) proportions from a D-infinity angle raster (octant split).
+int rn_dinf_props(const double* ang, double* props, int64_t h, int64_t w) {
+  const double quarter = 3.14159265358979323846 / 4.0;
+  std::memset(props, 0, sizeof(double) * (size_t)(h * w * 8));
+  for (int64_t i = 0; i < h * w; ++i) {
+    const double a = ang[i];
+    if (a < 0.0) continue;  // NO_FLOW or nodata
+    int k = ((int)(a / quarter)) % 8;
+    const double frac = (a - k * quarter) / quarter;
+    props[i * 8 + OCTANT_DIRS[k] - 1] += 1.0 - frac;
+    props[i * 8 + OCTANT_DIRS[(k + 1) % 8] - 1] += frac;
+  }
+  return 0;
+}
+
+// Generic MFD proportions: fraction toward d proportional to
+// max(slope_d, 0)^exponent (Quinn 1991 at exponent 1, Holmgren 1994,
+// Freeman 1991 at 1.1).
+int rn_mfd_props(const double* z, double* props, int64_t h, int64_t w,
+                 double no_data, int has_nodata, double exponent) {
+  std::memset(props, 0, sizeof(double) * (size_t)(h * w * 8));
+  for (int64_t r = 0; r < h; ++r) {
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (is_nodata(z[i], no_data, has_nodata)) continue;
+      double wts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      double total = 0.0;
+      for (int d = 1; d <= 8; ++d) {
+        const int64_t nr = r + DY[d], nc = c + DX[d];
+        if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+        const double zn = z[nr * w + nc];
+        if (is_nodata(zn, no_data, has_nodata)) continue;
+        const double s = (z[i] - zn) / DR[d];
+        if (s > 0.0) {
+          wts[d - 1] = std::pow(s, exponent);
+          total += wts[d - 1];
+        }
+      }
+      if (total > 0.0)
+        for (int d = 0; d < 8; ++d) props[i * 8 + d] = wts[d] / total;
+    }
+  }
+  return 0;
+}
+
+// Horn 1981 slope in radians (out-of-bounds/nodata window cells replaced
+// by the center value, as in oracle/terrain.py); nodata cells -> NaN.
+int rn_slope_radians(const double* z, double* out, int64_t h, int64_t w,
+                     double no_data, int has_nodata, double zscale,
+                     double cellsize) {
+  for (int64_t r = 0; r < h; ++r) {
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t i = r * w + c;
+      if (is_nodata(z[i], no_data, has_nodata)) {
+        out[i] = std::nan("");
+        continue;
+      }
+      const double e = z[i] * zscale;
+      double win[9];  // a b c / d e f / g h i, row-major window
+      int k = 0;
+      for (int dr = -1; dr <= 1; ++dr)
+        for (int dc = -1; dc <= 1; ++dc, ++k) {
+          const int64_t nr = r + dr, nc = c + dc;
+          if (nr < 0 || nr >= h || nc < 0 || nc >= w ||
+              is_nodata(z[nr * w + nc], no_data, has_nodata))
+            win[k] = e;
+          else
+            win[k] = z[nr * w + nc] * zscale;
+        }
+      const double fx = ((win[2] + 2 * win[5] + win[8]) -
+                         (win[0] + 2 * win[3] + win[6])) / (8 * cellsize);
+      const double fy = ((win[6] + 2 * win[7] + win[8]) -
+                         (win[0] + 2 * win[1] + win[2])) / (8 * cellsize);
+      out[i] = std::atan(std::hypot(fx, fy));
+    }
+  }
+  return 0;
+}
+
+// Topographic wetness index ln(a / tan(beta)) — appendix A.7 semantics.
+int rn_twi(const double* acc, const double* slope, double* out, int64_t n,
+           double cellsize, double min_slope) {
+  for (int64_t i = 0; i < n; ++i) {
+    const double a = std::max(acc[i] * cellsize, 1e-30);
+    const double tanb = std::max(std::tan(slope[i]), min_slope);
+    out[i] = std::log(a / tanb);
+  }
+  return 0;
+}
+
+}  // extern "C"

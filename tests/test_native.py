@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from richdem_tpu import oracle, synth
+from richdem_tpu.oracle import flowdirs as flowdirs_oracle
 from richdem_tpu import native
 
 pytestmark = pytest.mark.skipif(
@@ -150,3 +151,43 @@ def test_resolve_flats_matches_oracle():
     # labels may be numbered differently only if discovery order differs;
     # both scan row-major, so require exact equality.
     np.testing.assert_array_equal(gl, wl)
+
+
+@pytest.mark.parametrize("name", ["perlin", "holes"])
+def test_dinf_flowdirs_matches_oracle(name):
+    dem = _fixtures()[name]
+    nd = -9999.0 if name == "holes" else None
+    got = native.dinf_flowdirs(dem, no_data=nd)
+    want = oracle.dinf_flowdirs(dem, no_data=nd)
+    # identical double arithmetic up to libm ulp differences; the
+    # NO_FLOW/nodata markers must match exactly
+    np.testing.assert_allclose(got, want, atol=1e-12, rtol=0)
+    np.testing.assert_array_equal(got < 0, want < 0)
+
+
+def test_dinf_props_matches_oracle():
+    dem = _fixtures()["perlin"]
+    ang = oracle.dinf_flowdirs(dem)
+    np.testing.assert_array_equal(native.dinf_props(ang),
+                                  flowdirs_oracle.proportions_from_dinf(ang))
+
+
+@pytest.mark.parametrize("exponent,method", [(1.0, "Quinn"),
+                                             (1.1, "Freeman")])
+def test_mfd_props_matches_oracle(exponent, method):
+    dem = _fixtures()["holes"]
+    got = native.mfd_props(dem, no_data=-9999.0, exponent=exponent)
+    want = oracle.flow_proportions(dem, method=method, no_data=-9999.0,
+                                   exponent=exponent)
+    np.testing.assert_allclose(got, want, atol=1e-15, rtol=0)
+
+
+def test_slope_radians_matches_oracle():
+    dem = _fixtures()["holes"]
+    got = native.slope_radians(dem, no_data=-9999.0)
+    want = oracle.terrain_attribute(dem, "slope_radians", no_data=-9999.0)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    m = ~np.isnan(want)
+    # math.hypot (CPython's own correctly-rounded variant) vs libm hypot
+    # differ by <= 1 ulp on ~0.5% of cells; everything else is identical
+    np.testing.assert_allclose(got[m], want[m], rtol=5e-16, atol=0)
