@@ -66,15 +66,27 @@ PINNED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BASELINE_PINNED.json")
 
 
-def pinned_baseline(terrain_fn):
-    """(cells_per_s, source): env override > committed pin > measure+pin."""
+def pinned_baseline(terrain_fn, config="pipeline"):
+    """(cells_per_s, source): env override > committed pin > measure+pin.
+
+    The pin is PER CONFIG (tools/pin_baselines.py): each scenario's
+    vs_baseline divides by a native C++ run doing the same work — D8
+    pipeline, ε-fill + flat resolution, D∞ accumulation + TWI, or Quinn
+    MFD accumulation.  A pin file predating the per-config scheme (or a
+    config missing from it) falls back to the pipeline figure, tagged
+    ``pinned-pipeline`` so the mismatch is visible in the bench JSON."""
     env = os.environ.get("BENCH_BASELINE_CELLS_S")
     if env:
         return float(env), "env"
     if (os.path.exists(PINNED_PATH)
             and not os.environ.get("BENCH_REPIN_BASELINE")):
         with open(PINNED_PATH) as f:
-            return float(json.load(f)["cells_per_s"]), "pinned"
+            pin = json.load(f)
+        configs = pin.get("configs", {})
+        if config in configs:
+            return float(configs[config]), "pinned"
+        return float(pin["cells_per_s"]), (
+            "pinned" if config == "pipeline" else "pinned-pipeline")
     val = measure_cpu_baseline(terrain_fn)
     with open(PINNED_PATH, "w") as f:
         json.dump({"cells_per_s": val,
@@ -340,7 +352,7 @@ def main():
     best = min(times)
     cells_per_s = size * size / best
 
-    baseline, baseline_source = pinned_baseline(gen)
+    baseline, baseline_source = pinned_baseline(gen, config)
     result = {
         "metric": (f"{label} grid-points/s "
                    f"({size}x{size} {terrain}, {platform})"),
@@ -350,6 +362,11 @@ def main():
         "baseline_cells_s": round(baseline, 1),
         "baseline_source": baseline_source,
     }
+    if config != "pipeline" and baseline_source == "pinned":
+        # continuity with rounds 1-3, whose multipliers for every config
+        # divided by the D8-pipeline figure
+        pipe_base, _ = pinned_baseline(gen, "pipeline")
+        result["vs_pipeline_baseline"] = round(cells_per_s / pipe_base, 3)
     if on_tpu:
         sync = measure_sync_floor(jax)
         dev_t = max(best - sync / batch, 1e-9)
