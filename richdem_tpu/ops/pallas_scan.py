@@ -164,7 +164,7 @@ def _dinf_tap(v, target):
 
 def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
                        out_ref, c_acc, c_fd, *, bh, f, reverse, tap,
-                       depth=0):
+                       depth=0, unroll=1):
     """One scan-GS sweep of ``A = w + Pᵀ A``.
 
     forward: NEW side = processed row above (tap weights toward S=7
@@ -228,12 +228,14 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
         return (new, fd_l)
 
     acc_fin, fd_fin = jax.lax.fori_loop(
-        0, bh, row_body, (c_acc[...], c_fd[...]))
+        0, bh, row_body, (c_acc[...], c_fd[...]),
+        unroll=bh if unroll == -1 else unroll)
     c_acc[...] = acc_fin
     c_fd[...] = fd_fin
 
 
-def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, depth=0):
+def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, depth=0,
+                      unroll=1):
     hf, L = acc.shape
     h = hf // f
     bh = _fold_strip_height(h, L * f, n_bufs=5)
@@ -250,7 +252,8 @@ def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, depth=0):
 
     return pl.pallas_call(
         functools.partial(_accum_scan_kernel, bh=bh, f=f,
-                          reverse=reverse, tap=tap, depth=depth),
+                          reverse=reverse, tap=tap, depth=depth,
+                          unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
         grid=(n,),
         in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
@@ -258,6 +261,19 @@ def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, depth=0):
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
                         pltpu.VMEM((f, L), fd.dtype)],
     )(w, fd, fd, acc, acc)
+
+
+def _scan_unroll(default=1):
+    """``RICHDEM_TPU_SCAN_UNROLL``: unroll factor for the per-row
+    Gauss-Seidel carry loop inside the scan kernels.  The loop runs H
+    sequential iterations (one per logical row) whose bodies are short
+    vector-op bursts, so loop/addressing overhead is a real fraction of
+    sweep time; unrolling amortizes it without changing any result
+    (pure tracing transform).  Mosaic only supports unroll=1 or a full
+    unroll; ``-1`` requests the full unroll (resolved to the strip
+    height per kernel)."""
+    import os
+    return int(os.environ.get("RICHDEM_TPU_SCAN_UNROLL", str(default)))
 
 
 def _scan_depth(default=0):
@@ -276,9 +292,10 @@ def _scan_depth(default=0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_rotations", "fold_pad", "depth"))
+                   static_argnames=("max_rotations", "fold_pad", "depth",
+                                    "unroll"))
 def _accum_scan_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD,
-                     depth=0):
+                     depth=0, unroll=1):
     h, wd = fd.shape
     fd_p = _pad_to(jnp.asarray(fd, jnp.int32).clip(0), 0,
                    mh=fold_pad, mw=fold_pad)
@@ -290,9 +307,9 @@ def _accum_scan_impl(fd, weights, max_rotations, fold_pad=_FOLD_PAD,
 
     def rotation(acc):
         acc = _accum_scan_sweep(acc, w_v, fd_v, f, reverse=False,
-                                depth=depth)
+                                depth=depth, unroll=unroll)
         return _accum_scan_sweep(acc, w_v, fd_v, f, reverse=True,
-                                 depth=depth)
+                                 depth=depth, unroll=unroll)
 
     def cond(state):
         _, it, done = state
@@ -321,9 +338,9 @@ def _dinf_scan_rot():
 
 @functools.partial(jax.jit,
                    static_argnames=("max_rotations", "fold_pad", "rot4",
-                                    "depth"))
+                                    "depth", "unroll"))
 def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD,
-                    rot4=True, depth=0):
+                    rot4=True, depth=0, unroll=1):
     """D∞ scan-GS fixpoint from the packed two-tap field.
 
     ``rot4`` adds the column scan sweeps on the transposed packed field
@@ -355,21 +372,27 @@ def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD,
 
         def rotation(acc):
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
-                                    tap=_dinf_tap, depth=depth)
+                                    tap=_dinf_tap, depth=depth,
+                                    unroll=unroll)
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
-                                    tap=_dinf_tap, depth=depth)
+                                    tap=_dinf_tap, depth=depth,
+                                    unroll=unroll)
             at = _refold_T(acc)
             at = _accum_scan_sweep(at, w_t, v_t, f, reverse=False,
-                                   tap=_dinf_tap, depth=depth)
+                                   tap=_dinf_tap, depth=depth,
+                                   unroll=unroll)
             at = _accum_scan_sweep(at, w_t, v_t, f, reverse=True,
-                                   tap=_dinf_tap, depth=depth)
+                                   tap=_dinf_tap, depth=depth,
+                                   unroll=unroll)
             return _refold_T(at)
     else:
         def rotation(acc):
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
-                                    tap=_dinf_tap, depth=depth)
+                                    tap=_dinf_tap, depth=depth,
+                                    unroll=unroll)
             return _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
-                                     tap=_dinf_tap, depth=depth)
+                                     tap=_dinf_tap, depth=depth,
+                                     unroll=unroll)
 
     def cond(state):
         _, it, done = state
@@ -414,7 +437,8 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
     acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
                                        fold_pad=fpad,
                                        rot4=_dinf_scan_rot() == 4,
-                                       depth=_scan_depth(default=64))
+                                       depth=_scan_depth(default=64),
+                                       unroll=_scan_unroll())
     _require_converged(done, "scan-GS D-infinity accumulation",
                        max_rotations)
     if no_data_mask is not None:
@@ -427,7 +451,8 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
 def _mfd_scan_kernel(acc_ref, accx_ref, w_ref,
                      p1, p2, p3, p4, p5, p6, p7, p8,
                      px_a, px_b, px_c,
-                     out_ref, carry, *, bh, f, reverse, depth=0):
+                     out_ref, carry, *, bh, f, reverse, depth=0,
+                     unroll=1):
     """Scan-GS sweep over (8, H·f, L) folded proportion planes: previous
     row trio NEW via the carry, BOTH in-row chains NEW via the scans
     (gates = the neighbors' E/W proportions — float affine coefficients),
@@ -492,10 +517,11 @@ def _mfd_scan_kernel(acc_ref, accx_ref, w_ref,
             [new, new_planes[0][sl], new_planes[1][sl],
              new_planes[2][sl]], axis=0)
 
-    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...])
+    carry[...] = jax.lax.fori_loop(0, bh, row_body, carry[...],
+                                   unroll=bh if unroll == -1 else unroll)
 
 
-def _mfd_scan_sweep(acc, w, props8, f, reverse, depth=0):
+def _mfd_scan_sweep(acc, w, props8, f, reverse, depth=0, unroll=1):
     from richdem_tpu.ops.pallas_folded import _strip_maps
 
     hf, L = acc.shape
@@ -530,7 +556,7 @@ def _mfd_scan_sweep(acc, w, props8, f, reverse, depth=0):
     )
     return pl.pallas_call(
         functools.partial(_mfd_scan_kernel, bh=bh, f=f, reverse=reverse,
-                          depth=depth),
+                          depth=depth, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
         grid=(n,),
         in_specs=in_specs,
@@ -540,9 +566,10 @@ def _mfd_scan_sweep(acc, w, props8, f, reverse, depth=0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_rotations", "fold_pad", "depth"))
+                   static_argnames=("max_rotations", "fold_pad", "depth",
+                                    "unroll"))
 def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD,
-                   depth=0):
+                   depth=0, unroll=1):
     """4-sweep scan rotation: row scans + column scans (via transposed
     refolds, plane permutation as in pallas_mfd).
 
@@ -574,14 +601,14 @@ def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD,
 
     def rotation(acc):
         acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=False,
-                              depth=depth)
+                              depth=depth, unroll=unroll)
         acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=True,
-                              depth=depth)
+                              depth=depth, unroll=unroll)
         at = _refold_T(acc)
         at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=False,
-                             depth=depth)
+                             depth=depth, unroll=unroll)
         at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=True,
-                             depth=depth)
+                             depth=depth, unroll=unroll)
         return _refold_T(at)
 
     def cond(state):
@@ -624,7 +651,8 @@ def mfd_accumulation_scan(props, weights=None, no_data_mask=None,
     props8 = jnp.moveaxis(props.astype(jnp.float32), -1, 0)
     acc, iters, done = _mfd_scan_impl(props8, weights, max_rotations,
                                       fold_pad=fpad,
-                                      depth=_scan_depth(default=64))
+                                      depth=_scan_depth(default=64),
+                                      unroll=_scan_unroll())
     _require_converged(done, "scan-GS MFD accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
@@ -656,7 +684,8 @@ def d8_accumulation_scan(flowdirs, weights=None, no_data_mask=None,
         weights = jnp.where(jnp.asarray(no_data_mask), 0.0, weights)
     acc, iters, done = _accum_scan_impl(fd, weights, max_rotations,
                                         fold_pad=fpad,
-                                        depth=_scan_depth())
+                                        depth=_scan_depth(),
+                                        unroll=_scan_unroll())
     _require_converged(done, "scan-GS D8 accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
@@ -745,7 +774,8 @@ def _clamp_scan(lo, hi, jeh, reverse, ctx, seed=None, depth=0):
 
 
 def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
-                      flag_ref, carry, *, bh, f, reverse, depth=0):
+                      flag_ref, carry, *, bh, f, reverse, depth=0,
+                      unroll=1):
     """One scan-GS fill sweep + in-kernel change flag (same convergence
     contract as pallas_folded._fill_kernel).
 
@@ -814,7 +844,8 @@ def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
 
     fin, diff = jax.lax.fori_loop(
         0, bh, row_body,
-        (carry[...], jnp.zeros(carry.shape, jnp.int32)))
+        (carry[...], jnp.zeros(carry.shape, jnp.int32)),
+        unroll=bh if unroll == -1 else unroll)
     carry[...] = fin
     chg = jnp.any(diff != 0)
 
@@ -823,7 +854,7 @@ def _fill_scan_kernel(eps_ref, w_ref, floor_ref, out_ref,
         flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
-def _fill_scan_sweep(w, floor, eps2, f, reverse, depth=0):
+def _fill_scan_sweep(w, floor, eps2, f, reverse, depth=0, unroll=1):
     from richdem_tpu.ops.pallas_folded import _strip_maps
 
     hf, L = w.shape
@@ -847,7 +878,7 @@ def _fill_scan_sweep(w, floor, eps2, f, reverse, depth=0):
     )
     out, flag = pl.pallas_call(
         functools.partial(_fill_scan_kernel, bh=bh, f=f, reverse=reverse,
-                          depth=depth),
+                          depth=depth, unroll=unroll),
         out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
                    jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid_spec=grid_spec,
@@ -856,9 +887,10 @@ def _fill_scan_sweep(w, floor, eps2, f, reverse, depth=0):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "check_every",
-                                             "fold_pad", "depth"))
+                                             "fold_pad", "depth",
+                                             "unroll"))
 def _fill_scan_impl(z32, nodata_mask, w0, eps2, *, max_iters,
-                    check_every, fold_pad, depth=0):
+                    check_every, fold_pad, depth=0, unroll=1):
     h, wd = z32.shape
     neg = jnp.float32(-BIG)
     floor = jnp.where(nodata_mask, neg, z32)
@@ -870,9 +902,9 @@ def _fill_scan_impl(z32, nodata_mask, w0, eps2, *, max_iters,
 
     def rotation(wv):
         wv, c1 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=False,
-                                  depth=depth)
+                                  depth=depth, unroll=unroll)
         wv, c2 = _fill_scan_sweep(wv, floor_v, eps2, f, reverse=True,
-                                  depth=depth)
+                                  depth=depth, unroll=unroll)
         return wv, c1 + c2
 
     def cond(state):
@@ -938,7 +970,8 @@ def fill_fixpoint_scan(z, nodata_mask=None, eps=0.0, eps_diag=None,
     eps2 = jnp.stack([eps, eps_d])
     return _fill_scan_impl(z32, nodata_mask, w0, eps2,
                            max_iters=max_iters, check_every=check_every,
-                           fold_pad=fpad, depth=_scan_depth())
+                           fold_pad=fpad, depth=_scan_depth(),
+                           unroll=_scan_unroll())
 
 
 # ---------------------------------------------------------------------------
@@ -987,7 +1020,7 @@ def _tropical_scan(a, b, reverse, ctx, seed=None, depth=0):
 
 def _dist_scan_kernel(w_ref, z_ref, s_ref, out_ref, flag_ref,
                       c_w, c_z, c_s, *, bh, f, reverse, mode, step,
-                      depth=0):
+                      depth=0, unroll=1):
     """One scan-GS masked-distance sweep + in-kernel change flag (same
     admissibility predicates as pallas_sweeps._dist_down_kernel)."""
     from richdem_tpu.ops.pallas_sweeps import _allowed
@@ -1048,7 +1081,8 @@ def _dist_scan_kernel(w_ref, z_ref, s_ref, out_ref, flag_ref,
     fw, fz, fs, diff = jax.lax.fori_loop(
         0, bh, row_body,
         (c_w[...], c_z[...], c_s[...],
-         jnp.zeros(c_w.shape, jnp.int32)))
+         jnp.zeros(c_w.shape, jnp.int32)),
+        unroll=bh if unroll == -1 else unroll)
     c_w[...] = fw
     c_z[...] = fz
     c_s[...] = fs
@@ -1059,7 +1093,8 @@ def _dist_scan_kernel(w_ref, z_ref, s_ref, out_ref, flag_ref,
         flag_ref[...] = jnp.ones(flag_ref.shape, jnp.int32)
 
 
-def _dist_scan_sweep(w, z, s, f, reverse, mode, step, depth=0):
+def _dist_scan_sweep(w, z, s, f, reverse, mode, step, depth=0,
+                     unroll=1):
     hf, L = w.shape
     h = hf // f
     bh = _fold_strip_height(h, L * f, n_bufs=4)
@@ -1074,7 +1109,8 @@ def _dist_scan_sweep(w, z, s, f, reverse, mode, step, depth=0):
                             memory_space=pltpu.VMEM)
     out, flag = pl.pallas_call(
         functools.partial(_dist_scan_kernel, bh=bh, f=f, reverse=reverse,
-                          mode=mode, step=step, depth=depth),
+                          mode=mode, step=step, depth=depth,
+                          unroll=unroll),
         out_shape=[jax.ShapeDtypeStruct((hf, L), jnp.float32),
                    jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid=(n,),
@@ -1088,9 +1124,10 @@ def _dist_scan_sweep(w, z, s, f, reverse, mode, step, depth=0):
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "step", "max_iters",
-                                             "fold_pad", "depth"))
+                                             "fold_pad", "depth",
+                                             "unroll"))
 def _dist_scan_impl(w0, zed, state, mode, step, max_iters, fold_pad,
-                    depth=0):
+                    depth=0, unroll=1):
     h, wd = w0.shape
     f = _F
     w_v = _fold(_pad_to(jnp.asarray(w0, jnp.float32), BIG,
@@ -1107,9 +1144,11 @@ def _dist_scan_impl(w0, zed, state, mode, step, max_iters, fold_pad,
     def body(st):
         w, it, _ = st
         w, c1 = _dist_scan_sweep(w, z_v, s_v, f, reverse=False,
-                                 mode=mode, step=step, depth=depth)
+                                 mode=mode, step=step, depth=depth,
+                                 unroll=unroll)
         w, c2 = _dist_scan_sweep(w, z_v, s_v, f, reverse=True,
-                                 mode=mode, step=step, depth=depth)
+                                 mode=mode, step=step, depth=depth,
+                                 unroll=unroll)
         return w, it + 1, (c1 + c2) == 0
 
     done0 = jnp.any(w_v != w_v)
@@ -1128,7 +1167,8 @@ def dist_fixpoint_scan(w0, zed, state, mode, step=1.0, max_iters=256,
     if depth is None:
         depth = _scan_depth()
     w, iters, done = _dist_scan_impl(w0, zed, state, mode, float(step),
-                                     max_iters, fpad, depth=depth)
+                                     max_iters, fpad, depth=depth,
+                                     unroll=_scan_unroll())
     if return_info:
         return w, iters, done
     return w
