@@ -283,10 +283,15 @@ def _scan_depth(default=0):
     for in-row chains longer than the depth with extra rotations; the
     result stays exact either way (see ``_affine_scan``).  ``default``
     is the per-metric production default when the env var is unset —
-    the multi-flow accumulation paths pass 64 (hardware-measured 12%
-    sweep win at 4096² with an unchanged rotation count; divergent
-    metrics converge on vertical path alternation, not in-row chain
-    length, so the truncated window rarely costs rotations)."""
+    the per-metric production default when the env var is unset.
+    Hardware-measured at 4096² (tools/probe_scan_opt.py, r4): the
+    generic MFD path wants 8 (Quinn 147 ms/11 rot vs 186-212 ms/10 rot
+    at depth 64 — divergent metrics converge on vertical path
+    alternation, not in-row chain length, so a 3-step window barely
+    costs rotations); D∞ two-tap keeps 64 (flat 88-93 ms across depths,
+    fewest rotations at 64); D8 keeps the full-width scan (long in-row
+    chains: depth 64 → 7 rotations, depth 8 → 41, both slower than the
+    12-step full scan at 4 rotations)."""
     import os
     return int(os.environ.get("RICHDEM_TPU_SCAN_DEPTH", str(default)))
 
@@ -409,6 +414,17 @@ def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD,
     return _unfold(acc, f)[:h, :wd], iters, done
 
 
+def _dinf_planes():
+    """``RICHDEM_TPU_DINF_SCAN_PLANES=1``: route the D∞ scan engine
+    through the generic MFD planes kernel (decoded proportions) instead
+    of the packed two-tap kernel.  The planes sweep reads 8 proportion
+    planes from HBM but does no per-row tap decode, so it is the
+    cheaper shape when the kernels are VPU-bound rather than
+    bandwidth-bound (hardware probe tools/probe_scan_opt.py)."""
+    import os
+    return os.environ.get("RICHDEM_TPU_DINF_SCAN_PLANES", "0") == "1"
+
+
 def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
                            max_rotations=512, fold_min=None,
                            fold_pad=None, return_info=False):
@@ -433,6 +449,13 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
                                     max_rotations=max_rotations,
                                     fold_min=fmin, fold_pad=fpad,
                                     return_info=return_info)
+    if _dinf_planes():
+        from richdem_tpu.ops.pallas_dinf import two_tap_props
+        return mfd_accumulation_scan(two_tap_props(code, p),
+                                     weights=weights,
+                                     max_rotations=max_rotations,
+                                     fold_min=fmin, fold_pad=fpad,
+                                     return_info=return_info)
     v = pack_two_tap(code, p)
     acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
                                        fold_pad=fpad,
@@ -651,7 +674,7 @@ def mfd_accumulation_scan(props, weights=None, no_data_mask=None,
     props8 = jnp.moveaxis(props.astype(jnp.float32), -1, 0)
     acc, iters, done = _mfd_scan_impl(props8, weights, max_rotations,
                                       fold_pad=fpad,
-                                      depth=_scan_depth(default=64),
+                                      depth=_scan_depth(default=8),
                                       unroll=_scan_unroll())
     _require_converged(done, "scan-GS MFD accumulation", max_rotations)
     if no_data_mask is not None:
