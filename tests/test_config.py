@@ -37,3 +37,25 @@ def test_run_mfd():
     cfg = PipelineConfig(eps=1e-3, metric="Quinn")
     out = cfg.run(dem)
     assert np.asarray(out["accum"]).sum() > 0
+
+
+def test_per_config_pinned_baseline_dispatch(tmp_path, monkeypatch):
+    """bench.pinned_baseline picks the config-matched pin, falls back to
+    the pipeline figure (tagged) for configs missing from the file, and
+    honours the env override."""
+    import json
+    import bench
+
+    pin = {"cells_per_s": 5.5e6,
+           "configs": {"pipeline": 5.5e6, "dinf_twi": 3.5e6}}
+    path = tmp_path / "pin.json"
+    path.write_text(json.dumps(pin))
+    monkeypatch.setattr(bench, "PINNED_PATH", str(path))
+    monkeypatch.delenv("BENCH_BASELINE_CELLS_S", raising=False)
+
+    assert bench.pinned_baseline(None, "pipeline") == (5.5e6, "pinned")
+    assert bench.pinned_baseline(None, "dinf_twi") == (3.5e6, "pinned")
+    assert bench.pinned_baseline(None, "quinn_mfd") == (
+        5.5e6, "pinned-pipeline")
+    monkeypatch.setenv("BENCH_BASELINE_CELLS_S", "1e6")
+    assert bench.pinned_baseline(None, "dinf_twi") == (1e6, "env")

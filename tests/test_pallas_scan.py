@@ -435,3 +435,23 @@ def test_dist_scan_truncated_depth_exact(depth, monkeypatch):
         jnp.asarray(dem), jnp.asarray(fd), nd, 256)
     np.testing.assert_array_equal(np.asarray(got_mask),
                                   np.asarray(exact_mask))
+
+
+def test_dinf_scan_planes_route_matches_two_tap(monkeypatch):
+    """RICHDEM_TPU_DINF_SCAN_PLANES routes the D-infinity scan engine
+    through the generic MFD planes kernel; the result must match the
+    packed two-tap kernel (same fixpoint, different sweep shape)."""
+    from richdem_tpu.ops.flowdirs import dinf_flowdirs
+    from richdem_tpu.ops.pallas_dinf import dinf_two_tap
+    dem = synth.perlin_dem(72, 96, seed=10, dtype=np.float64)
+    filled = oracle.priority_flood_epsilon(dem, eps=1e-3)
+    ang = dinf_flowdirs(np.asarray(filled, np.float32))
+    code, p = dinf_two_tap(ang)
+    want, _, d1 = pallas_scan.dinf_accumulation_scan(
+        code, p, return_info=True, **FOLD)
+    monkeypatch.setenv("RICHDEM_TPU_DINF_SCAN_PLANES", "1")
+    got, _, d2 = pallas_scan.dinf_accumulation_scan(
+        code, p, return_info=True, **FOLD)
+    assert bool(d1) and bool(d2)
+    np.testing.assert_allclose(np.asarray(got, np.float64),
+                               np.asarray(want, np.float64), rtol=2e-5)
