@@ -313,7 +313,7 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
                                    max_rotations=max_rotations,
                                    return_info=return_info)
     from richdem_tpu.ops.pallas_folded import _accum_engine
-    if _accum_engine() == "scan":
+    if _accum_engine(auto="scan") == "scan":
         from richdem_tpu.ops.pallas_scan import (_dinf_scan_impl,
                                                  _dinf_scan_rot,
                                                  _scan_depth)

@@ -574,7 +574,11 @@ def _accum_engine(auto=None):
 #: cheaper than a scan sweep); divergent multi-flow metrics take the
 #: 4-sweep scan rotation (flat ~O(1) rotation count vs O(diameter) —
 #: Quinn at 2048^2: ~74 folded rotations; hardware gate
-#: tests/test_tpu_only.py asserts the >=3x reduction).
+#: tests/test_tpu_only.py asserts the >=3x reduction).  D-infinity
+#: joined the scan side in r4: on the eps=1e-2 bench surface at 4096^2
+#: the depth-16 scan converges in 6 rotations vs 14 folded (84.6 vs
+#: 88.1 ms, and the gap widens with grid size since the scan rotation
+#: count is flat — tools/hw_r4_logs/probe_dinf_engines.log).
 _ACCUM_DEFAULT = "auto"
 
 

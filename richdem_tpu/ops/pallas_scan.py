@@ -460,7 +460,7 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
     acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
                                        fold_pad=fpad,
                                        rot4=_dinf_scan_rot() == 4,
-                                       depth=_scan_depth(default=64),
+                                       depth=_scan_depth(default=16),
                                        unroll=_scan_unroll())
     _require_converged(done, "scan-GS D-infinity accumulation",
                        max_rotations)
