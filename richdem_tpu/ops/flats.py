@@ -229,7 +229,7 @@ def _resolve_impl_pallas(z, fd, nodata_mask, max_iters, engine="folded",
     drained = noflow & ~drain & in_flat & (T < _UNREACHED)
     mask = jnp.where(drained, 2.0 * T + away_term, 0.0)
 
-    inv_dr = 1.0 / np.asarray(DR)
+    inv_dr = np.concatenate([[0.0], 1.0 / np.asarray(DR)[1:]])
     best = jnp.full(mask.shape, -BIG, mask.dtype)
     kbest = jnp.zeros(mask.shape, jnp.int32)
     for d in range(1, 9):
@@ -254,7 +254,11 @@ def _impl():
         depth = 0
         if eng == "scan":
             from richdem_tpu.ops.pallas_scan import _scan_depth
-            depth = _scan_depth()
+            # flat distances are short chains (bounded by flat width):
+            # depth 8 drops the lane-level doubling steps with an
+            # unchanged rotation count, bitwise equal (66.6 vs 76.0 ms
+            # at 4096² — tools/hw_r4_logs/probe_flats_depth.log)
+            depth = _scan_depth(default=8)
         return partial(_resolve_impl_pallas, engine=eng,
                        scan_depth=depth)
     return _resolve_impl
