@@ -263,7 +263,7 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
             acc, iters, done = _mfd_scan_impl(props8, weights,
                                               max_rotations,
                                               fold_pad=fpad,
-                                              depth=_scan_depth(default=64))
+                                              depth=_scan_depth(default=8))
         else:
             acc, iters, done = _mfd_gs_impl(props8, weights,
                                             max_rotations, fold_pad=fpad)
