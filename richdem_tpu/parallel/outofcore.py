@@ -31,14 +31,28 @@ D8 accumulation has its own two-pass protocol ([P2]) — see
 
 from __future__ import annotations
 
+import itertools
 import os
+import threading
 import time as _time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from richdem_tpu.ops.sweeps import BIG
 
 __all__ = ["out_of_core_fill", "out_of_core_accum_d8"]
+
+
+def _ooc_workers():
+    """``RICHDEM_TPU_OOC_WORKERS``: thread count for the native tile
+    consumers ([P1]'s consumers are independent; ctypes releases the
+    GIL around the C++ Priority-Flood, so threads scale on cores).
+    Output is bit-identical at any worker count — ordering-sensitive
+    steps stay on the main thread."""
+    return max(1, int(os.environ.get(
+        "RICHDEM_TPU_OOC_WORKERS", str(min(8, os.cpu_count() or 1)))))
 
 
 def _tile_ranges(n, t):
@@ -315,15 +329,39 @@ def twopass_fill_into(dem, wmm, lmm, rows, cols, no_data, verbose=False,
     next_base = 1  # global label ids; 0 = ocean
     ea, eb, ew = [], [], []
 
-    # ---- pass 1: tile consumers (one DEM read per tile)
-    for ri, (r0, r1) in enumerate(rows):
-        for ci, (c0, c1) in enumerate(cols):
+    # ---- pass 1: tile consumers (one DEM read per tile), run on a
+    # bounded thread pool — [P1]'s consumers are mutually independent
+    # and both the C++ Priority-Flood (ctypes) and the numpy copies
+    # release the GIL, so threads scale on a multi-core host.  Raster
+    # reads stay under a lock (GeoTIFFWindow shares one file handle);
+    # label bases, memmap writes and edge appends happen on the main
+    # thread in tile order, so the output is bit-identical to the
+    # serial sweep at any worker count.
+    workers = _ooc_workers()
+    tiles = [(r0, r1, c0, c1)
+             for (r0, r1) in rows for (c0, c1) in cols]
+    read_lock = threading.Lock()
+
+    def consume(t):
+        r0, r1, c0, c1 = t
+        with read_lock:
             z = np.asarray(dem[r0:r1, c0:c1], np.float64)
+        ge = ((1 if r0 == 0 else 0) | (2 if r1 == h else 0)
+              | (4 if c0 == 0 else 0) | (8 if c1 == w else 0))
+        return native.fill_tile(z, no_data=no_data, global_edges=ge)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending = deque()
+        it = iter(tiles)
+        for t in itertools.islice(it, workers + 2):
+            pending.append((t, ex.submit(consume, t)))
+        while pending:
+            (r0, r1, c0, c1), fut = pending.popleft()
+            filled, lab, edges = fut.result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((nxt, ex.submit(consume, nxt)))
             tile_loads += 1
-            ge = ((1 if r0 == 0 else 0) | (2 if r1 == h else 0)
-                  | (4 if c0 == 0 else 0) | (8 if c1 == w else 0))
-            filled, lab, edges = native.fill_tile(z, no_data=no_data,
-                                                  global_edges=ge)
             nlab = int(lab.max())
             b = next_base
             next_base += nlab
@@ -377,17 +415,21 @@ def twopass_fill_into(dem, wmm, lmm, rows, cols, no_data, verbose=False,
         print(f"label graph: {next_base} labels, {a.shape[0]} edges",
               flush=True)
 
-    # ---- pass 2: apply raise levels (one state read/write per tile)
+    # ---- pass 2: apply raise levels (one state read/write per tile);
+    # tiles touch disjoint memmap regions, so the pool needs no ordering
     if apply_pass:
-        for (r0, r1) in rows:
-            for (c0, c1) in cols:
-                blk = np.asarray(wmm[r0:r1, c0:c1])
-                glab = np.asarray(lmm[r0:r1, c0:c1])
-                tile_loads += 1
-                lift = raise_[glab]
-                np.maximum(blk, lift.astype(np.float32), out=blk,
-                           where=np.isfinite(lift))
-                wmm[r0:r1, c0:c1] = blk
+        def apply_tile(t):
+            r0, r1, c0, c1 = t
+            blk = np.asarray(wmm[r0:r1, c0:c1])
+            glab = np.asarray(lmm[r0:r1, c0:c1])
+            lift = raise_[glab]
+            np.maximum(blk, lift.astype(np.float32), out=blk,
+                       where=np.isfinite(lift))
+            wmm[r0:r1, c0:c1] = blk
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(apply_tile, tiles))
+        tile_loads += len(tiles)
     if stats is not None:
         stats.update(method="twopass", data_passes=2,
                      tile_loads=tile_loads, n_labels=int(next_base),
