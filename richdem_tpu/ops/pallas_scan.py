@@ -450,8 +450,15 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
                                     fold_min=fmin, fold_pad=fpad,
                                     return_info=return_info)
     if _dinf_planes():
-        from richdem_tpu.ops.pallas_dinf import two_tap_props
-        return mfd_accumulation_scan(two_tap_props(code, p),
+        from richdem_tpu.ops.pallas_dinf import (two_tap_props,
+                                                 unpack_two_tap)
+        # quantize p through the packed encoding first so this route
+        # computes the same fixpoint as the two-tap kernel bit-for-bit
+        # at the proportion level (pack_two_tap stores p in the
+        # fraction of code + p/2)
+        cq, pq = unpack_two_tap(pack_two_tap(code,
+                                             jnp.asarray(p, jnp.float32)))
+        return mfd_accumulation_scan(two_tap_props(cq, pq),
                                      weights=weights,
                                      max_rotations=max_rotations,
                                      fold_min=fmin, fold_pad=fpad,

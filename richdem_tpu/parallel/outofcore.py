@@ -48,11 +48,14 @@ __all__ = ["out_of_core_fill", "out_of_core_accum_d8"]
 def _ooc_workers():
     """``RICHDEM_TPU_OOC_WORKERS``: thread count for the native tile
     consumers ([P1]'s consumers are independent; ctypes releases the
-    GIL around the C++ Priority-Flood, so threads scale on cores).
-    Output is bit-identical at any worker count — ordering-sensitive
-    steps stay on the main thread."""
-    return max(1, int(os.environ.get(
-        "RICHDEM_TPU_OOC_WORKERS", str(min(8, os.cpu_count() or 1)))))
+    GIL around the C++ Priority-Flood, so threads overlap tile IO with
+    compute and scale on cores).  Output is bit-identical at any worker
+    count — ordering-sensitive steps stay on the main thread.  Default
+    2: on the 1-core build host, 2 workers measured 136 s vs 167 s
+    serial at 16k² (IO/compute overlap) while 8 thrashed the host's
+    ~0.1-0.5 GB/s memory bandwidth (176 s); raise it on real
+    multi-core hosts."""
+    return max(1, int(os.environ.get("RICHDEM_TPU_OOC_WORKERS", "2")))
 
 
 def _tile_ranges(n, t):
