@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 FINAL validation: gates + bench matrix with every settled
+# default (flats scan depth 8, D-inf scan depth 16 via the dispatch
+# sites, MFD depth 8, planes-route quantization).  Resumable per step.
+set -u
+mkdir -p tools/hw_r4b_logs
+L=tools/hw_r4b_logs
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+
+run() {
+  name=$1; shift
+  if [ -f "$L/$name.done" ]; then
+    echo "=== $name: already done, skipping" | tee -a "$L/driver.log"
+    return 0
+  fi
+  echo "=== $name: $* ($(date))" | tee -a "$L/driver.log"
+  timeout "${STEP_TIMEOUT:-1200}" "$@" 2>&1 | tee "$L/$name.log" | tail -n 5
+  rc=${PIPESTATUS[0]}
+  echo "=== $name exit=$rc ($(date))" | tee -a "$L/driver.log"
+  [ "$rc" -eq 0 ] && touch "$L/$name.done"
+}
+
+RICHDEM_TPU_TEST_TPU=1 STEP_TIMEOUT=2400 run gates python -m pytest tests/test_tpu_only.py -q
+BENCH_CONFIG=pipeline   BENCH_SIZE=8192  STEP_TIMEOUT=900 run c3_8192 python bench.py
+BENCH_CONFIG=pipeline   BENCH_SIZE=8192  BENCH_BATCH=8 STEP_TIMEOUT=900 run c3_8192_ss python bench.py
+BENCH_CONFIG=pipeline   BENCH_SIZE=16384 BENCH_BATCH=4 BENCH_REPS=3 STEP_TIMEOUT=900 run c3_16384_ss python bench.py
+BENCH_CONFIG=fill_flats BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=900 run c2_4096_ss python bench.py
+BENCH_CONFIG=dinf_twi   BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=900 run c4_4096_ss python bench.py
+BENCH_CONFIG=dinf_twi   BENCH_SIZE=8192  BENCH_BATCH=8 STEP_TIMEOUT=900 run c4_8192_ss python bench.py
+BENCH_CONFIG=quinn_mfd  BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=900 run quinn_4096_ss python bench.py
+echo "ALL DONE $(date)" | tee -a "$L/driver.log"
