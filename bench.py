@@ -18,13 +18,17 @@ HBM bandwidth (BENCH_HBM_GBPS, default 819 GB/s for TPU v5e).  Device time
 excludes the measured axon-tunnel sync floor (~27 ms per host round-trip,
 reported separately as ``sync_floor_s`` — tunnel overhead, not kernel time).
 
-Env knobs: BENCH_SIZE (grid edge, default 8192 on TPU / 1024 on CPU),
+Env knobs: BENCH_SIZE (grid edge, default 10240 on TPU — the BASELINE.json
+north-star size — / 1024 on CPU),
 BENCH_REPS (default 5), BENCH_TERRAIN (perlin|cone|depressions),
 BENCH_CONFIG (pipeline|fill_flats|dinf_twi|quinn_mfd), BENCH_HBM_GBPS,
 BENCH_BATCH (default 1: steps dispatched per timing fence — >1 reports
 steady-state throughput with the fixed ~27 ms tunnel sync amortized, the
 serving posture where tiles stream back-to-back; the default stays the
-conservative single-shot figure).
+conservative single-shot figure).  When BENCH_BATCH is unset on TPU the
+same JSON line also carries ``steady_state_cells_s`` /
+``steady_state_vs_baseline`` (an 8-step-per-fence measurement) so both
+postures are visible from the default invocation.
 """
 
 import json
@@ -187,7 +191,10 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
-    default_size = 8192 if platform != "cpu" else 1024
+    # 10240 = the BASELINE.json north-star scenario ("fill+flowdir+accum
+    # on 10k x 10k DEM"); earlier rounds' BENCH_r0{1,2,3}.json ran 8192
+    # (metric string carries the size either way).
+    default_size = 10240 if platform != "cpu" else 1024
     size = int(os.environ.get("BENCH_SIZE", default_size))
     reps = int(os.environ.get("BENCH_REPS", 5))
     batch = max(1, int(os.environ.get("BENCH_BATCH", 1)))
@@ -352,6 +359,23 @@ def main():
     best = min(times)
     cells_per_s = size * size / best
 
+    # When the default single-shot figure is being reported, ALSO measure
+    # the steady-state throughput (8 steps per fence — the serving posture
+    # where tiles stream back-to-back and the fixed ~27 ms tunnel sync
+    # amortizes).  Both figures ride the same JSON line; "value" stays the
+    # conservative single-shot number.
+    ss_cells_per_s = None
+    if on_tpu and batch == 1 and "BENCH_BATCH" not in os.environ:
+        ss_batch = 8
+        ss_best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(ss_batch - 1):
+                dispatch()
+            run_once()
+            ss_best = min(ss_best, (time.perf_counter() - t0) / ss_batch)
+        ss_cells_per_s = size * size / ss_best
+
     baseline, baseline_source = pinned_baseline(gen, config)
     result = {
         "metric": (f"{label} grid-points/s "
@@ -380,6 +404,10 @@ def main():
                                1),
             **iter_info,
         )
+        if ss_cells_per_s is not None:
+            result["steady_state_cells_s"] = round(ss_cells_per_s, 1)
+            result["steady_state_vs_baseline"] = round(
+                ss_cells_per_s / baseline, 3)
     print(json.dumps(result))
     return result
 

@@ -21,11 +21,14 @@ run() {
 }
 
 RICHDEM_TPU_TEST_TPU=1 STEP_TIMEOUT=2400 run gates python -m pytest tests/test_tpu_only.py -q
-BENCH_CONFIG=pipeline   BENCH_SIZE=8192  STEP_TIMEOUT=900 run c3_8192 python bench.py
-BENCH_CONFIG=pipeline   BENCH_SIZE=8192  BENCH_BATCH=8 STEP_TIMEOUT=900 run c3_8192_ss python bench.py
+STEP_TIMEOUT=1800 run c3_default python bench.py
+BENCH_CONFIG=pipeline   BENCH_SIZE=8192  STEP_TIMEOUT=1800 run c3_8192 python bench.py
+BENCH_CONFIG=pipeline   BENCH_SIZE=8192  BENCH_BATCH=8 STEP_TIMEOUT=1800 run c3_8192_ss python bench.py
+# c3 at 16384 in-core OOMs (HLO reshape temp) — covered by the
+# out-of-core path instead; the .done marker parks it.
 BENCH_CONFIG=pipeline   BENCH_SIZE=16384 BENCH_BATCH=4 BENCH_REPS=3 STEP_TIMEOUT=900 run c3_16384_ss python bench.py
-BENCH_CONFIG=fill_flats BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=900 run c2_4096_ss python bench.py
-BENCH_CONFIG=dinf_twi   BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=900 run c4_4096_ss python bench.py
-BENCH_CONFIG=dinf_twi   BENCH_SIZE=8192  BENCH_BATCH=8 STEP_TIMEOUT=900 run c4_8192_ss python bench.py
-BENCH_CONFIG=quinn_mfd  BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=900 run quinn_4096_ss python bench.py
+BENCH_CONFIG=fill_flats BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=1800 run c2_4096_ss python bench.py
+BENCH_CONFIG=dinf_twi   BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=1800 run c4_4096_ss python bench.py
+BENCH_CONFIG=dinf_twi   BENCH_SIZE=8192  BENCH_BATCH=8 STEP_TIMEOUT=1800 run c4_8192_ss python bench.py
+BENCH_CONFIG=quinn_mfd  BENCH_SIZE=4096  BENCH_BATCH=8 STEP_TIMEOUT=1800 run quinn_4096_ss python bench.py
 echo "ALL DONE $(date)" | tee -a "$L/driver.log"

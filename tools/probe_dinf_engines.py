@@ -59,7 +59,7 @@ def main():
         return PS.dinf_accumulation_scan(code, p, max_rotations=512,
                                          return_info=True)
 
-    for depth in ("16", "64"):
+    for depth in ("8", "16", "64"):
         os.environ["RICHDEM_TPU_SCAN_DEPTH"] = depth
         os.environ.pop("RICHDEM_TPU_DINF_SCAN_PLANES", None)
         run_scan_tt.clear_cache()
