@@ -321,7 +321,7 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
         acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
                                            fold_pad=fpad,
                                            rot4=_dinf_scan_rot() == 4,
-                                           depth=_scan_depth(default=16))
+                                           depth=_scan_depth(default=1))
         _require_converged(done, "D-infinity scan accumulation",
                            max_rotations)
         if no_data_mask is not None:

@@ -150,29 +150,42 @@ def _d8_tap(fd, target):
     return (fd == target).astype(jnp.float32)
 
 
-def _dinf_tap(v, target):
-    """Two-tap weight toward D8 direction ``target`` from the packed
-    field ``v = code + p/2`` (see ops.pallas_dinf)."""
+def _dinf_prep(v):
+    """Decode the packed two-tap field ``v = code + p/2`` (see
+    ops.pallas_dinf) ONCE per row — the kernel taps the same field up
+    to 3 directions, and re-decoding inside each tap call measurably
+    slows the VPU-bound sweeps (~2.6 vs ~1.4 ms/rot tap overhead at
+    4096², tools/probe_r5.py)."""
     fl = jnp.floor(v)
     code = fl.astype(jnp.int32)
     p = (v - fl) * 2.0
     nxt = jnp.where(code == 8, 1, code + 1)
     nxt = jnp.where(code > 0, nxt, 0)
+    return code, p, nxt
+
+
+def _dinf_tap(decoded, target):
+    """Two-tap weight toward D8 direction ``target`` from a
+    ``_dinf_prep``-decoded field."""
+    code, p, nxt = decoded
     t = jnp.int32(target)
     return p * (code == t) + (1.0 - p) * (nxt == t)
 
 
 def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
                        out_ref, c_acc, c_fd, *, bh, f, reverse, tap,
-                       depth=0, unroll=1):
+                       prep=None, depth=0, unroll=1):
     """One scan-GS sweep of ``A = w + Pᵀ A``.
 
     forward: NEW side = processed row above (tap weights toward S=7
     straight, SE=6 from the west source, SW=8 from the east source)
     plus BOTH in-row chains via prefix scans; OLD side = row below
     (N=3, NE=4 west, NW=2 east).  reverse mirrors the row trios.
-    ``tap(field_group, target)`` abstracts the metric: D8 one-hot codes
-    or the D∞ packed two-tap field."""
+    ``tap(prep(field_group), target)`` abstracts the metric: D8 one-hot
+    codes (prep = identity) or the D∞ packed two-tap field decoded once
+    per row (``_dinf_prep``)."""
+    if prep is None:
+        prep = lambda x: x
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -192,11 +205,12 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
         sl = (pl.ds(pl.multiple_of(r * f, f), f), slice(None))
         w_l = w_ref[sl]
         fd_l = fd_ref[sl]
+        d_prev = prep(prev_fd)
 
         cs, cw, ce = new_codes
-        newc = (prev_a * tap(prev_fd, cs)
-                + _shift_fwd(prev_a * tap(prev_fd, cw), 1, zero, ctx)
-                + _shift_rev(prev_a * tap(prev_fd, ce), 1, zero, ctx))
+        newc = (prev_a * tap(d_prev, cs)
+                + _shift_fwd(prev_a * tap(d_prev, cw), 1, zero, ctx)
+                + _shift_rev(prev_a * tap(d_prev, ce), 1, zero, ctx))
 
         ro = r - 1 if reverse else r + 1
         in_strip = (ro >= 0) & (ro < bh)
@@ -208,22 +222,32 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
         fd_o = jnp.where(in_strip, fd_ref[pl.ds(rsf, f), :],
                          fdx_ref[...])
         a_o = a_o * jnp.logical_or(in_strip, jnp.logical_not(at_edge))
+        d_o = prep(fd_o)
 
         os_, ow, oe = old_codes
-        oldb = (a_o * tap(fd_o, os_)
-                + _shift_fwd(a_o * tap(fd_o, ow), 1, zero, ctx)
-                + _shift_rev(a_o * tap(fd_o, oe), 1, zero, ctx))
+        oldb = (a_o * tap(d_o, os_)
+                + _shift_fwd(a_o * tap(d_o, ow), 1, zero, ctx)
+                + _shift_rev(a_o * tap(d_o, oe), 1, zero, ctx))
         base = w_l + newc + oldb
         # both in-row chains with NEW values; independent (an E-chain
         # feeding a W-chain needs a 2-cycle), hence additive
-        gE = _shift_fwd(tap(fd_l, 5), 1, zero, ctx)
-        gW = _shift_rev(tap(fd_l, 1), 1, zero, ctx)
+        d_l = prep(fd_l)
         seed = acc_ref[sl] if depth else None
-        newE = _affine_scan(gE, base, reverse=False, ctx=ctx,
-                            seed=seed, depth=depth)
-        newW = _affine_scan(gW, base, reverse=True, ctx=ctx,
-                            seed=seed, depth=depth)
-        new = newE + newW - base
+        if depth == 1:
+            # fused one-step window: gE[j]·old[j−1] = (tap·old)[j−1],
+            # one lane shift per direction instead of gate shift +
+            # scan seed shift (the scan-kernel cost is these shifts)
+            new = (base
+                   + _shift_fwd(tap(d_l, 5) * seed, 1, zero, ctx)
+                   + _shift_rev(tap(d_l, 1) * seed, 1, zero, ctx))
+        else:
+            gE = _shift_fwd(tap(d_l, 5), 1, zero, ctx)
+            gW = _shift_rev(tap(d_l, 1), 1, zero, ctx)
+            newE = _affine_scan(gE, base, reverse=False, ctx=ctx,
+                                seed=seed, depth=depth)
+            newW = _affine_scan(gW, base, reverse=True, ctx=ctx,
+                                seed=seed, depth=depth)
+            new = newE + newW - base
         out_ref[sl] = new
         return (new, fd_l)
 
@@ -234,8 +258,8 @@ def _accum_scan_kernel(w_ref, fd_ref, fdx_ref, acc_ref, accx_ref,
     c_fd[...] = fd_fin
 
 
-def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, depth=0,
-                      unroll=1):
+def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, prep=None,
+                      depth=0, unroll=1):
     hf, L = acc.shape
     h = hf // f
     bh = _fold_strip_height(h, L * f, n_bufs=5)
@@ -252,8 +276,8 @@ def _accum_scan_sweep(acc, w, fd, f, reverse, tap=_d8_tap, depth=0,
 
     return pl.pallas_call(
         functools.partial(_accum_scan_kernel, bh=bh, f=f,
-                          reverse=reverse, tap=tap, depth=depth,
-                          unroll=unroll),
+                          reverse=reverse, tap=tap, prep=prep,
+                          depth=depth, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((hf, L), jnp.float32),
         grid=(n,),
         in_specs=[blk(smap), blk(smap), xblk(), blk(smap), xblk()],
@@ -284,14 +308,16 @@ def _scan_depth(default=0):
     result stays exact either way (see ``_affine_scan``).  ``default``
     is the per-metric production default when the env var is unset —
     the per-metric production default when the env var is unset.
-    Hardware-measured at 4096² (tools/probe_scan_opt.py, r4): the
-    generic MFD path wants 8 (Quinn 147 ms/11 rot vs 186-212 ms/10 rot
-    at depth 64 — divergent metrics converge on vertical path
-    alternation, not in-row chain length, so a 3-step window barely
-    costs rotations); D∞ two-tap keeps 64 (flat 88-93 ms across depths,
-    fewest rotations at 64); D8 keeps the full-width scan (long in-row
-    chains: depth 64 → 7 rotations, depth 8 → 41, both slower than the
-    12-step full scan at 4 rotations)."""
+    Hardware-measured at 4096² (tools/probe_scan_opt.py r4,
+    tools/probe_r5.py r5 on the eps=1e-2 bench surface): the generic
+    MFD path wants 8 (Quinn 206 ms/19 rot vs 200/22 at depth 4 — even,
+    but depths ≤ 2 blow up: 78-222 rotations); D∞ two-tap wants 1 (the
+    fused one-shift lateral tap: 102 ms/14 rot vs 118/6 at depth 16 at
+    4096², 213 vs 234 ms at 8192² — its sweeps are VPU-bound on the
+    scan shift passes, and D∞ dispersal chains are short enough that
+    the extra rotations stay cheap); D8 keeps the full-width scan
+    (long in-row chains: depth 64 → 7 rotations, depth 8 → 41, both
+    slower than the 12-step full scan at 4 rotations)."""
     import os
     return int(os.environ.get("RICHDEM_TPU_SCAN_DEPTH", str(default)))
 
@@ -377,26 +403,26 @@ def _dinf_scan_impl(v, weights, max_rotations, fold_pad=_FOLD_PAD,
 
         def rotation(acc):
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
-                                    tap=_dinf_tap, depth=depth,
+                                    tap=_dinf_tap, prep=_dinf_prep, depth=depth,
                                     unroll=unroll)
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
-                                    tap=_dinf_tap, depth=depth,
+                                    tap=_dinf_tap, prep=_dinf_prep, depth=depth,
                                     unroll=unroll)
             at = _refold_T(acc)
             at = _accum_scan_sweep(at, w_t, v_t, f, reverse=False,
-                                   tap=_dinf_tap, depth=depth,
+                                   tap=_dinf_tap, prep=_dinf_prep, depth=depth,
                                    unroll=unroll)
             at = _accum_scan_sweep(at, w_t, v_t, f, reverse=True,
-                                   tap=_dinf_tap, depth=depth,
+                                   tap=_dinf_tap, prep=_dinf_prep, depth=depth,
                                    unroll=unroll)
             return _refold_T(at)
     else:
         def rotation(acc):
             acc = _accum_scan_sweep(acc, w_v, v_v, f, reverse=False,
-                                    tap=_dinf_tap, depth=depth,
+                                    tap=_dinf_tap, prep=_dinf_prep, depth=depth,
                                     unroll=unroll)
             return _accum_scan_sweep(acc, w_v, v_v, f, reverse=True,
-                                     tap=_dinf_tap, depth=depth,
+                                     tap=_dinf_tap, prep=_dinf_prep, depth=depth,
                                      unroll=unroll)
 
     def cond(state):
@@ -467,7 +493,7 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
     acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
                                        fold_pad=fpad,
                                        rot4=_dinf_scan_rot() == 4,
-                                       depth=_scan_depth(default=16),
+                                       depth=_scan_depth(default=1),
                                        unroll=_scan_unroll())
     _require_converged(done, "scan-GS D-infinity accumulation",
                        max_rotations)
@@ -534,14 +560,21 @@ def _mfd_scan_kernel(acc_ref, accx_ref, w_ref,
                 + _shift_fwd(a_o * o_w, 1, zero, ctx)
                 + _shift_rev(a_o * o_e, 1, zero, ctx))
         base = w_l + newc + oldb
-        gE = _shift_fwd(fd5, 1, zero, ctx)   # west nbr's E proportion
-        gW = _shift_rev(fd1, 1, zero, ctx)   # east nbr's W proportion
         seed = acc_ref[asl] if depth else None
-        newE = _affine_scan(gE, base, reverse=False, ctx=ctx,
-                            seed=seed, depth=depth)
-        newW = _affine_scan(gW, base, reverse=True, ctx=ctx,
-                            seed=seed, depth=depth)
-        new = newE + newW - base
+        if depth == 1:
+            # fused one-step window (see _accum_scan_kernel): the west
+            # neighbor's E proportion times its old value is one shift
+            new = (base
+                   + _shift_fwd(fd5 * seed, 1, zero, ctx)
+                   + _shift_rev(fd1 * seed, 1, zero, ctx))
+        else:
+            gE = _shift_fwd(fd5, 1, zero, ctx)   # west nbr's E prop.
+            gW = _shift_rev(fd1, 1, zero, ctx)   # east nbr's W prop.
+            newE = _affine_scan(gE, base, reverse=False, ctx=ctx,
+                                seed=seed, depth=depth)
+            newW = _affine_scan(gW, base, reverse=True, ctx=ctx,
+                                seed=seed, depth=depth)
+            new = newE + newW - base
         out_ref[asl] = new
         return jnp.concatenate(
             [new, new_planes[0][sl], new_planes[1][sl],

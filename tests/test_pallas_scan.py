@@ -327,11 +327,11 @@ def test_scan_accum_truncated_depth_serpentine_exact(depth, monkeypatch):
     assert float(np.asarray(got).max()) == h * w
 
 
-@pytest.mark.parametrize("depth", [8])
+@pytest.mark.parametrize("depth", [1, 8])
 def test_mfd_scan_truncated_depth_exact(depth, monkeypatch):
     """Fractional gates (Quinn) under a truncated scan: the chain-seed
     argument holds for any downhill flow field, so the result must stay
-    oracle-exact."""
+    oracle-exact.  depth=1 exercises the fused one-shift lateral tap."""
     monkeypatch.setenv("RICHDEM_TPU_SCAN_DEPTH", str(depth))
     from richdem_tpu.ops.flowdirs import flow_proportions
     dem = synth.depression_dem(72, 96, seed=7, dtype=np.float32)
@@ -348,7 +348,7 @@ def test_mfd_scan_truncated_depth_exact(depth, monkeypatch):
                                rtol=2e-5)
 
 
-@pytest.mark.parametrize("depth", [8])
+@pytest.mark.parametrize("depth", [1, 8])
 def test_dinf_scan_truncated_depth_exact(depth, monkeypatch):
     """Truncated D∞: the seeded update regroups the f32 chain sums in a
     different order than the full-width scan, so its equality fixpoint

@@ -69,8 +69,10 @@ def main():
         print(f"{name:5s} default: {t*1e3:7.1f} ms rot={int(it):3d} "
               f"({(t-sync)/int(it)*1e3:.2f} ms/rot)", flush=True)
 
-    for depth in ("8", "16", "64", "256"):
-        for unroll in ("1", "2", "4", "8"):
+    depths = os.environ.get("PROBE_DEPTHS", "8,16,64,256").split(",")
+    unrolls = os.environ.get("PROBE_UNROLLS", "1,2,4,8").split(",")
+    for depth in depths:
+        for unroll in unrolls:
             os.environ["RICHDEM_TPU_SCAN_DEPTH"] = depth
             os.environ["RICHDEM_TPU_SCAN_UNROLL"] = unroll
             for name, fn in runs.items():
