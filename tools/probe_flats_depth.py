@@ -39,7 +39,7 @@ def main():
 
     os.environ["RICHDEM_TPU_FLATS_ENGINE"] = "scan"
     ref = None
-    for depth in ("0", "8", "16", "64"):
+    for depth in os.environ.get("PROBE_DEPTHS", "0,8,16,64").split(","):
         os.environ["RICHDEM_TPU_SCAN_DEPTH"] = depth
         r, it, done = resolve_flats(filled, fd, return_info=True)
         if ref is None:
