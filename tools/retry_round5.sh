@@ -4,6 +4,7 @@
 # first (jax.devices() can answer while compute hangs — CLAUDE.md).
 cd "$(dirname "$0")/.." || exit 1
 L=tools/hw_r5_logs
+mkdir -p "$L"
 NEED=9
 for i in $(seq 1 30); do
   n=$(ls "$L"/*.done 2>/dev/null | wc -l)
