@@ -316,12 +316,18 @@ def dinf_accumulation_gs(code, p, weights=None, no_data_mask=None,
     if _accum_engine(auto="scan") == "scan":
         from richdem_tpu.ops.pallas_scan import (_dinf_scan_impl,
                                                  _dinf_scan_rot,
-                                                 _scan_depth)
+                                                 _scan_depth,
+                                                 _scan_unroll)
         v = pack_two_tap(code, jnp.asarray(p, jnp.float32))
+        # same depth policy as pallas_scan.dinf_accumulation_scan:
+        # fused depth-1 needs the 4-sweep rotation's transposed
+        # backstop for long E/W chains
+        rot4 = _dinf_scan_rot() == 4
         acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
-                                           fold_pad=fpad,
-                                           rot4=_dinf_scan_rot() == 4,
-                                           depth=_scan_depth(default=1))
+                                           fold_pad=fpad, rot4=rot4,
+                                           depth=_scan_depth(
+                                               default=1 if rot4 else 16),
+                                           unroll=_scan_unroll())
         _require_converged(done, "D-infinity scan accumulation",
                            max_rotations)
         if no_data_mask is not None:

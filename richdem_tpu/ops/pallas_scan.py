@@ -152,10 +152,12 @@ def _d8_tap(fd, target):
 
 def _dinf_prep(v):
     """Decode the packed two-tap field ``v = code + p/2`` (see
-    ops.pallas_dinf) ONCE per row — the kernel taps the same field up
-    to 3 directions, and re-decoding inside each tap call measurably
-    slows the VPU-bound sweeps (~2.6 vs ~1.4 ms/rot tap overhead at
-    4096², tools/probe_r5.py)."""
+    ops.pallas_dinf) once per FIELD per row (three fields: carry, old
+    row, lateral — the carry's decode is recomputed rather than carried
+    through the loop state) instead of inside each of the 8 tap calls.
+    Hardware-neutral at 4096² (Mosaic already CSE'd the in-row
+    duplicates; tools/probe_r5.py) — kept as the cheaper-by-
+    construction shape."""
     fl = jnp.floor(v)
     code = fl.astype(jnp.int32)
     p = (v - fl) * 2.0
@@ -490,10 +492,16 @@ def dinf_accumulation_scan(code, p, weights=None, no_data_mask=None,
                                      fold_min=fmin, fold_pad=fpad,
                                      return_info=return_info)
     v = pack_two_tap(code, p)
+    # depth-1 fused laterals are the hardware winner under the 4-sweep
+    # rotation, whose TRANSPOSED sweeps resolve arbitrarily long E/W
+    # chains via the row carry; row-only (ROT=2) has no such backstop —
+    # an exact-cardinal ramp would crawl 1 cell/sweep — so it keeps the
+    # 16-step window.
+    rot4 = _dinf_scan_rot() == 4
     acc, iters, done = _dinf_scan_impl(v, weights, max_rotations,
-                                       fold_pad=fpad,
-                                       rot4=_dinf_scan_rot() == 4,
-                                       depth=_scan_depth(default=1),
+                                       fold_pad=fpad, rot4=rot4,
+                                       depth=_scan_depth(
+                                           default=1 if rot4 else 16),
                                        unroll=_scan_unroll())
     _require_converged(done, "scan-GS D-infinity accumulation",
                        max_rotations)

@@ -79,10 +79,12 @@ def _d8_pallas_call(zed, z_up, z_dn, cellsize, d4):
     bh = _strip_height(wd, n_bufs=4)
     # Mosaic also places the kernel's live temporaries (8 shifted
     # neighbor arrays + best_s/best_d/take ≈ 11 f32 rows ≈ 44 B/cell,
-    # from its scoped-vmem accounting at 12288²) on the 16 MB scoped
-    # stack; shrink the strip where the block-fitting height would
-    # overflow it (first bites at width 12288 — bh 32 → 16).
-    while bh > 8 and bh * wd * 44 > (15 << 20) + (1 << 19):
+    # from its scoped-vmem accounting at 12288²; the D4 variant skips
+    # the 4 diagonal shifts ≈ 28 B/cell) on the 16 MB scoped stack;
+    # shrink the strip where the block-fitting height would overflow
+    # it (first bites at width 12288 — bh 32 → 16).
+    stack_b = 28 if d4 else 44
+    while bh > 8 and bh * wd * stack_b > (15 << 20) + (1 << 19):
         bh //= 2
     assert h % bh == 0, (h, bh)
     grid_spec = pltpu.PrefetchScalarGridSpec(

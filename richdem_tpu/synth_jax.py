@@ -91,14 +91,16 @@ def perlin_dem(height: int, width: int = None, seed: int = 0,
     """Multi-octave smoothstep value noise, entirely on device.
 
     Above 12288² the whole-grid call is staged through
-    ``perlin_dem_rows`` strips (bit-identical — see its docstring): one
-    16384² gather holds ~20 grid-sized HLO temps live and OOMs HBM,
-    while 8 strip dispatches peak at ~2 grid-sizes."""
+    ``perlin_dem_rows`` strips (equal up to backend fusion rounding:
+    bitwise on CPU, ≤1 ulp of the amplitude apart on TPU — see its
+    docstring): one 16384² gather holds ~20 grid-sized HLO temps live
+    and OOMs HBM, while 8 strip dispatches peak at ~2 grid-sizes."""
     width = height if width is None else width
-    if height * width > 12288 * 12288 and height % 8 == 0:
-        bh = height // 8
+    if height * width > 12288 * 12288:
+        bh = -(-height // 8)
         return jnp.concatenate(
-            [perlin_dem_rows(height, width, r0, bh, seed=seed,
+            [perlin_dem_rows(height, width, r0,
+                             min(bh, height - r0), seed=seed,
                              octaves=octaves, base_period=base_period,
                              amplitude=amplitude)
              for r0 in range(0, height, bh)], axis=0)
