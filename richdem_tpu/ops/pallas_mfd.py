@@ -259,11 +259,15 @@ def mfd_accumulation_gs(props, weights=None, no_data_mask=None,
         eng = engine if engine is not None else _accum_engine(auto="scan")
         if eng == "scan":
             from richdem_tpu.ops.pallas_scan import (_mfd_scan_impl,
-                                                     _scan_depth)
+                                                     _mfd_sweep_order,
+                                                     _scan_depth,
+                                                     _scan_unroll)
             acc, iters, done = _mfd_scan_impl(props8, weights,
                                               max_rotations,
                                               fold_pad=fpad,
-                                              depth=_scan_depth(default=8))
+                                              depth=_scan_depth(default=8),
+                                              unroll=_scan_unroll(),
+                                              order=_mfd_sweep_order())
         else:
             acc, iters, done = _mfd_gs_impl(props8, weights,
                                             max_rotations, fold_pad=fpad)

@@ -636,11 +636,24 @@ def _mfd_scan_sweep(acc, w, props8, f, reverse, depth=0, unroll=1):
     )(acc, acc, w, *([props8] * 11))
 
 
+def _mfd_sweep_order():
+    """``RICHDEM_TPU_MFD_SWEEP_ORDER``: sweep sequence within a
+    rotation.  ``rrcc`` (default): rowF, rowR, colF, colR — 2 transpose
+    refolds per rotation.  ``rcrc``: rowF, colF, rowR, colR — 4
+    refolds, but consecutive sweeps alternate axes, so a braid whose
+    segments alternate row/col direction in that order collapses in
+    fewer rotations.  Any order computes the same fixpoint (the
+    rotation-level equality certifies it); only rotations-to-converge
+    and refold overhead differ — probe before switching."""
+    import os
+    return os.environ.get("RICHDEM_TPU_MFD_SWEEP_ORDER", "rrcc")
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_rotations", "fold_pad", "depth",
-                                    "unroll"))
+                                    "unroll", "order"))
 def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD,
-                   depth=0, unroll=1):
+                   depth=0, unroll=1, order="rrcc"):
     """4-sweep scan rotation: row scans + column scans (via transposed
     refolds, plane permutation as in pallas_mfd).
 
@@ -670,17 +683,32 @@ def _mfd_scan_impl(props8, weights, max_rotations, fold_pad=_FOLD_PAD,
     def _refold_T(x):
         return _fold(_unfold(x, f).T, f)
 
-    def rotation(acc):
-        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=False,
-                              depth=depth, unroll=unroll)
-        acc = _mfd_scan_sweep(acc, w_v, props_p, f, reverse=True,
-                              depth=depth, unroll=unroll)
-        at = _refold_T(acc)
-        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=False,
-                             depth=depth, unroll=unroll)
-        at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=True,
-                             depth=depth, unroll=unroll)
+    def row_sweep(acc, reverse):
+        return _mfd_scan_sweep(acc, w_v, props_p, f, reverse=reverse,
+                               depth=depth, unroll=unroll)
+
+    def col_sweep(acc, reverse):
+        at = _mfd_scan_sweep(_refold_T(acc), w_t, props_t, f,
+                             reverse=reverse, depth=depth, unroll=unroll)
         return _refold_T(at)
+
+    if order == "rcrc":
+        def rotation(acc):
+            acc = row_sweep(acc, False)
+            acc = col_sweep(acc, False)
+            acc = row_sweep(acc, True)
+            return col_sweep(acc, True)
+    else:
+        def rotation(acc):
+            acc = row_sweep(acc, False)
+            acc = row_sweep(acc, True)
+            # back-to-back column sweeps share one refold round-trip
+            at = _refold_T(acc)
+            at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=False,
+                                 depth=depth, unroll=unroll)
+            at = _mfd_scan_sweep(at, w_t, props_t, f, reverse=True,
+                                 depth=depth, unroll=unroll)
+            return _refold_T(at)
 
     def cond(state):
         _, it, done = state
@@ -723,7 +751,8 @@ def mfd_accumulation_scan(props, weights=None, no_data_mask=None,
     acc, iters, done = _mfd_scan_impl(props8, weights, max_rotations,
                                       fold_pad=fpad,
                                       depth=_scan_depth(default=8),
-                                      unroll=_scan_unroll())
+                                      unroll=_scan_unroll(),
+                                      order=_mfd_sweep_order())
     _require_converged(done, "scan-GS MFD accumulation", max_rotations)
     if no_data_mask is not None:
         acc = jnp.where(jnp.asarray(no_data_mask), 0.0, acc)
