@@ -339,3 +339,41 @@ def test_quinn_scan_2048_vs_native_and_rotations():
     _, it_fold, _ = mfd_accumulation_gs(props, return_info=True,
                                         engine="folded")
     assert int(it_scan) * 3 <= int(it_fold)
+
+
+@pytest.mark.skipif(not os.environ.get("RICHDEM_TPU_TEST_TPU_WIDE"),
+                    reason="wide-grid gate: set RICHDEM_TPU_TEST_TPU_WIDE=1 "
+                           "(native runs ~25M cells + ~1 GB tunnel "
+                           "transfers, ~3-6 min)")
+def test_pipeline_wide_12288_exact_vs_native():
+    """Full pipeline gate at width 12288 — the size where the d8
+    stencil's scoped-vmem strip cap first bites (r5,
+    ops/pallas_stencils.py): fill bit-exact vs native Priority-Flood;
+    flowdirs equal except f32 slope ties (device computes slopes in
+    f32, native in f64 — mismatches must sit below f32 resolution and
+    be vanishingly few); accumulation over the device flowdirs exact
+    vs the native topological queue (integer values < 2²⁴).  One-off
+    diagnosis of the 5 tie cells at seed 33 in
+    tools/hw_r5_logs/gate_wide_12288.log."""
+    native = _native_or_skip()
+    import jax.numpy as jnp
+    from richdem_tpu import synth_jax
+    from richdem_tpu.ops import d8_flowdirs
+    from richdem_tpu.ops.pallas_folded import (d8_accumulation_folded,
+                                               fill_fixpoint_folded)
+    h, w = 2048, 12288
+    dem_d = synth_jax.depression_dem(h, w, seed=33, n_pits=40)
+    filled, _, done = fill_fixpoint_folded(dem_d, eps=0.0)
+    assert bool(done)
+    fd = d8_flowdirs(filled)
+    acc, _, adone = d8_accumulation_folded(fd, return_info=True)
+    assert bool(adone)
+
+    want_fill = native.fill(np.asarray(dem_d, np.float64))
+    np.testing.assert_array_equal(np.asarray(filled, np.float64),
+                                  want_fill)
+    want_fd = native.d8_flowdirs(want_fill)
+    mism = np.asarray(fd, np.int32) != want_fd.astype(np.int32)
+    assert mism.mean() < 1e-4, f"{mism.sum()} flowdir mismatches"
+    want_acc = native.accum_d8(np.asarray(fd, np.int8))
+    np.testing.assert_array_equal(np.asarray(acc, np.float64), want_acc)
