@@ -296,6 +296,13 @@ def _terrain_pallas_impl(z, nodata_mask, zscale, cellsize, attrib):
                     jnp.asarray(cellsize, jnp.float32)])
 
     bh = _strip_height(wp, n_bufs=7)
+    # Cap by Mosaic's scoped-vmem STACK as in _d8_pallas_call: this
+    # kernel keeps ~23 live f32 rows (Horn derivatives + shifted
+    # neighbor/mask copies ≈ 93 B/cell, from the Mosaic accounting at
+    # 12288² — 18.28M at bh 16) against the 16 MB limit.  First bites
+    # at width 12288 (bh 16 → 8); 10240 sits at 15.2M and keeps 16.
+    while bh > 8 and bh * wp * 93 > (15 << 20) + (1 << 19):
+        bh //= 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(hp // bh,),
