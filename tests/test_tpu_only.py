@@ -377,3 +377,17 @@ def test_pipeline_wide_12288_exact_vs_native():
     assert mism.mean() < 1e-4, f"{mism.sum()} flowdir mismatches"
     want_acc = native.accum_d8(np.asarray(fd, np.int8))
     np.testing.assert_array_equal(np.asarray(acc, np.float64), want_acc)
+
+    # r5 terrain cap: at width 12288 the fused terrain stencil's strip
+    # height is halved by the scoped-vmem stack rule
+    # (ops/pallas_stencils.py:_terrain_pallas_impl); the capped kernel
+    # must stay bitwise equal to the XLA shifted-array stencil.
+    # Compared on device (tunnel downloads of 100 MB rasters take
+    # minutes; a bool scalar round-trips in ~27 ms).
+    from richdem_tpu.ops.pallas_stencils import terrain_attribute_pallas
+    from richdem_tpu.ops.terrain import terrain_attribute
+    for attrib in ("slope_degrees", "curvature"):
+        a = terrain_attribute_pallas(filled, attrib)
+        b = terrain_attribute(filled, attrib)
+        same = bool(jnp.all((a == b) | (jnp.isnan(a) & jnp.isnan(b))))
+        assert same, f"terrain {attrib} != XLA stencil at width 12288"
