@@ -388,11 +388,13 @@ def rdCompare(a, b, atol=0.0, rtol=0.0, verbose=True):
 
 
 def rdShow(rd, ignore_colours=(), show=True, axes=True, cmap="terrain",
-           vmin=None, vmax=None, xmin=None, xmax=None, ymin=None,
-           ymax=None, zxmin=None, zxmax=None, zymin=None, zymax=None,
-           figsize=(8, 6.5)):
+           log=False, vmin=None, vmax=None, xmin=None, xmax=None,
+           ymin=None, ymax=None, zxmin=None, zxmax=None, zymin=None,
+           zymax=None, figsize=(8, 6.5)):
     """Matplotlib quicklook (pyrichdem ``rdShow``).  Matplotlib is
-    optional; raises a clear error if unavailable."""
+    optional; raises a clear error if unavailable.  ``log=True`` draws
+    on a log color scale (non-positive cells masked) — the usual view
+    for flow accumulation, whose values span ~log(n) decades."""
     try:
         import matplotlib.pyplot as plt
     except ImportError as e:
@@ -404,7 +406,12 @@ def rdShow(rd, ignore_colours=(), show=True, axes=True, cmap="terrain",
     arr[rd.nodata_mask()] = np.nan
     sub = arr[zymin:zymax, zxmin:zxmax]
     fig, ax = plt.subplots(figsize=figsize)
-    img = ax.imshow(sub, cmap=cmap, vmin=vmin, vmax=vmax)
+    if log:
+        from matplotlib.colors import LogNorm
+        sub = np.where(sub > 0, sub, np.nan)
+        img = ax.imshow(sub, cmap=cmap, norm=LogNorm(vmin=vmin, vmax=vmax))
+    else:
+        img = ax.imshow(sub, cmap=cmap, vmin=vmin, vmax=vmax)
     fig.colorbar(img, ax=ax)
     if not axes:
         ax.axis("off")

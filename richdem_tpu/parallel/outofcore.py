@@ -143,7 +143,8 @@ def out_of_core_fill(dem_path, state_path=None, tile=2048, eps=0.0,
                      cache_tiles="auto"):
     """Depression-fill a disk-resident DEM with O(tile) memory.
 
-    ``dem_path``: ``.npy`` raster (any float dtype; read via memmap).
+    ``dem_path``: ``.npy`` raster (read via memmap) or a GeoTIFF
+    (``.tif``/``.tiff``, incl. compressed/BigTIFF — windowed reads).
     ``state_path``: where the filled surface is built (defaults to
     ``dem_path`` + ``.filled.npy``).  Returns the state path.
 
